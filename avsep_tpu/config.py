@@ -1,0 +1,181 @@
+"""Typed configuration for avsep_tpu.
+
+The reference threads a flat ``argparse.Namespace`` of ~60 flags through every
+function (reference ``arguments.py``).  Here the same flag surface is a frozen
+dataclass: identical flag names and defaults so the reference's
+``scripts/*.sh`` option strings parse unchanged, but typed, immutable, and
+hashable where jit needs static arguments.
+
+Flag provenance: reference ``arguments.py:6-169``.  Script-only flags the
+reference forgot to declare (``--duet_vis_rate``, ``--restart_from_latest``,
+``--train_steps``; see SURVEY.md §5 "fork drift") are declared here properly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+
+@dataclass
+class Config:
+    # ---- model (reference arguments.py:9-52) ----
+    id: str = ""
+    num_mix: int = 2
+    arch_sound: str = "unet7"
+    arch_frame: str = "resnet18dilated"
+    arch_synthesizer: str = "linear"
+    fusion_type: str = "con"
+    weights_sound: str = ""
+    weights_frame: str = ""
+    weights_synthesizer: str = ""
+    num_channels: int = 32
+    num_frames: int = 1
+    stride_frames: int = 1
+    img_pool: str = "maxpool"
+    img_activation: str = "sigmoid"
+    sound_activation: str = "no"
+    output_activation: str = "sigmoid"
+    binary_mask: int = 1
+    mask_thres: float = 0.5
+    loss: str = "l1"
+    weighted_loss: int = 0
+    log_freq: int = 1
+    vis_channels: int = 512
+    # torch argparse quirk: --not_pool_vis stores False; default True means
+    # "return the spatial map" in forward_multiframe (reference main.py:120).
+    not_pool_vis: bool = True
+
+    # ---- data (reference arguments.py:55-73) ----
+    num_gpus: int = 1  # kept for CLI compat; maps to data-parallel devices
+    batch_size_per_gpu: int = 32
+    workers: int = 32
+    num_val: int = -1
+    num_vis: int = 40
+    audLen: int = 65535
+    audRate: int = 11025
+    stft_frame: int = 1022
+    stft_hop: int = 256
+
+    # ---- video (reference arguments.py:76-83) ----
+    imgSize: int = 224
+    frameRate: float = 8.0
+    load_clips: bool = False
+    clip_len: int = 32
+
+    # ---- misc (reference arguments.py:86-93) ----
+    seed: int = 1234
+    ckpt: str = "./ckpt"
+    disp_iter: int = 20
+    eval_epoch: int = 1
+
+    # ---- train (reference arguments.py:100-135) ----
+    mode: str = "train"
+    list_train: Tuple[str, ...] = ("data/train.csv",)
+    list_val: Tuple[str, ...] = ("data/val.csv",)
+    av_list_train: Tuple[str, ...] = ("data/train_av.csv",)
+    ao_list_train: Tuple[str, ...] = ("data/train_ao.csv",)
+    num_epoch: int = 100
+    num_iters: int = 120000
+    eval_iter: int = 7500
+    iter_per_av: int = 2
+    lr_frame: float = 1e-4
+    lr_sound: float = 1e-3
+    lr_motion: float = 1e-4
+    lr_synthesizer: float = 1e-3
+    lr_steps: Tuple[int, ...] = (20000, 40000)
+    start_av_first: bool = False
+    num_fsteps: int = 40000
+    beta1: float = 0.9
+    weight_decay: float = 1e-4
+    train_repeat: int = 100
+
+    # ---- other (reference arguments.py:145-168) ----
+    load_ckpt: str = ""
+    use_spec: bool = True
+    rate_dc: float = 1.0
+    rate_sc: float = 0.05
+    rate_sv: float = 0.0
+    margin: float = 3.0
+    max_silent: float = 0.67
+    val_repeat: int = 12
+    match_weight: float = 0.6
+    one_frame: bool = False
+    fix_vis: bool = False
+    att_type: str = "cos"
+
+    # ---- script-only / SoP++ flags the reference never declared ----
+    duet_vis_rate: float = 0.0
+    restart_from_latest: bool = False
+    train_steps: Tuple[int, ...] = (20000, 40000)
+    extra_size: int = 32  # SoP++ bottleneck split width (SoP++/audio_net.py:11)
+
+    # ---- TPU-native additions (no reference equivalent) ----
+    dtype: str = "float32"          # compute dtype for the model
+    data_axis: str = "data"          # mesh axis name for DP
+    mesh_shape: Tuple[int, ...] = ()  # () -> use all local devices on 1 axis
+
+    # -------------------------------------------------------------- helpers
+    @property
+    def batch_size(self) -> int:
+        # reference main.py:772: global batch = num_gpus * per-gpu batch
+        return self.num_gpus * self.batch_size_per_gpu
+
+    @property
+    def audSec(self) -> float:
+        return 1.0 * self.audLen / self.audRate
+
+    @property
+    def HS(self) -> int:
+        """STFT freq bins (reference dataset/base.py:40)."""
+        return self.stft_frame // 2 + 1
+
+    @property
+    def WS(self) -> int:
+        """STFT frames (reference dataset/base.py:41)."""
+        return (self.audLen + 1) // self.stft_hop
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    """Build an argparse parser accepting the reference's exact flag strings."""
+    p = argparse.ArgumentParser(description="avsep_tpu")
+    d = Config()
+    for f in dataclasses.fields(Config):
+        name = "--" + f.name
+        default = getattr(d, f.name)
+        if f.name == "not_pool_vis":
+            # reference arguments.py:52: store_false with default True
+            p.add_argument(name, action="store_false", default=True)
+        elif f.name in ("load_clips", "one_frame", "fix_vis", "start_av_first",
+                        "restart_from_latest"):
+            p.add_argument(name, action="store_true", default=False)
+        elif f.name == "use_spec":
+            p.add_argument(name, action="store_false", default=True)
+        elif isinstance(default, tuple):
+            elem = int if all(isinstance(x, int) for x in default) else str
+            p.add_argument(name, nargs="+", type=elem, default=list(default))
+        elif isinstance(default, bool):
+            p.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
+                           default=default)
+        else:
+            p.add_argument(name, type=type(default), default=default)
+    return p
+
+
+def parse_args(argv: Optional[Sequence[str]] = None) -> Config:
+    """Parse reference-compatible CLI flags into a Config."""
+    ns = _build_parser().parse_args(argv)
+    kw = vars(ns)
+    for f in dataclasses.fields(Config):
+        if isinstance(getattr(Config(), f.name), tuple) and isinstance(kw[f.name], list):
+            kw[f.name] = tuple(kw[f.name])
+    cfg = Config(**kw)
+    print("Input arguments:")  # reference arguments.py:138-141
+    for k, v in sorted(dataclasses.asdict(cfg).items()):
+        print("{:16} {}".format(k, v))
+    return cfg

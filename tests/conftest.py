@@ -1,0 +1,30 @@
+"""Test config: force an 8-device CPU platform before JAX backends init.
+
+The container's sitecustomize registers the 'axon' TPU plugin and pins
+``JAX_PLATFORMS=axon`` at interpreter boot, so plain env vars are not
+enough — we override via ``jax.config`` before the first backend lookup.
+
+Mesh/sharding tests exercise the data-parallel path on 8 virtual CPU
+devices (SURVEY.md §4); numerics tests are platform-independent.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
