@@ -1,0 +1,225 @@
+"""Audio-visual co-localization fusion (the research core).
+
+TPU-native re-implementation of the three fusion modules at the U-Net
+bottleneck (reference ``models/fusion_net.py``):
+
+* **CoLoc** (``fusion_net.py:20-110``, ``fusion_type='hidsep'``): split the
+  max-pooled bottleneck audio vector into C=2 per-source chunks, score both
+  chunk<->visual-map assignments with cosine or scaled-dot-sigmoid attention,
+  pick the best permutation (match loss = -best + sum(rest)), attend the
+  visual maps, and broadcast per-source guidance vectors back over the
+  spectrogram bottleneck.
+* **CoLoc_Sel** (``fusion_net.py:112-226``): same, but the guidance vector is
+  the visual feature at the argmax attention pixel.
+* **MixVis** (``fusion_net.py:229-311``): one mixed visual map; per-chunk
+  similarity, argmax-pixel selection, match loss with map-area regularizer
+  and cross-source cosine penalty.
+
+All modules are *parameter-free* pure functions: permutation search is a
+static gather over P=C! permutations (no data-dependent control flow), the
+audio-only slot shuffle (``fusion_net.py:96``) takes an explicit JAX PRNG
+key instead of implicit CUDA RNG, and everything is channels-last.
+
+Tensor conventions: bottleneck audio ``x [B, h, w, D]``; visual feature maps
+``v [C, B, H, W, D/C]`` (stacked sources); attention maps ``[B, C, H, W]``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from avsep_tpu.models.layers import cosine_similarity
+
+
+class FusionOut(NamedTuple):
+    features: jnp.ndarray              # [B, h, w, 2D] fused bottleneck
+    match_loss: Optional[jnp.ndarray]  # scalar or None (AO path)
+    att_maps: Optional[jnp.ndarray]    # [B, C, H, W] or None
+
+
+def _attend(x_pc: jnp.ndarray, v: jnp.ndarray, att_type: str) -> jnp.ndarray:
+    """Attention kernel (reference fusion_net.py:27-33).
+
+    x_pc: [B, ..., Dc] audio chunk vectors (any middle dims, e.g. [B,P,C,Dc])
+    v:    [B, ..., H, W, Dc] visual maps broadcastable against x_pc's middle
+    Returns per-pixel scores [..., H, W].
+    """
+    xb = x_pc[..., None, None, :]   # broadcast over H, W
+    if att_type == "cos":
+        return cosine_similarity(xb, v, axis=-1)
+    elif att_type == "sig":
+        d = x_pc.shape[-1]
+        return jax.nn.sigmoid(jnp.sum(xb * v / jnp.sqrt(float(d)), axis=-1))
+    raise ValueError(f"unknown att_type {att_type}")
+
+
+def _pool_chunks(x: jnp.ndarray, C: int) -> jnp.ndarray:
+    """Spatial max-pool the bottleneck and split channels into C chunks.
+
+    Matches ``AdaptiveMaxPool3d((None,1,1))`` + ``tensor_split(dim=1)``
+    (reference fusion_net.py:24,38).  Returns [B, C, D/C].
+    """
+    B, _, _, D = x.shape
+    g = jnp.max(x, axis=(1, 2))  # [B, D]
+    return g.reshape(B, C, D // C)
+
+
+def _broadcast_guidance(feat: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """[B, C, Dc] -> [B, h, w, C*Dc] per-source guidance planes."""
+    B, C, Dc = feat.shape
+    flat = feat.reshape(B, C * Dc)
+    return jnp.broadcast_to(flat[:, None, None, :], (B, h, w, C * Dc))
+
+
+def _perm_stack(blocks: jnp.ndarray) -> jnp.ndarray:
+    """[B, C, Dc] -> [B, P, C, Dc] with both orders, C=2 special case
+    (reference fusion_net.py:44-46)."""
+    return jnp.stack([blocks, blocks[:, ::-1]], axis=1)
+
+
+def _score_and_sort(maps: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                                jnp.ndarray]:
+    """maps [B, P, C, H, W] -> (match_loss, best_perm_idx [B], att [B,C,H,W]).
+
+    score(p) = sum_c max_{hw} maps[p, c]; best = argmax; match loss =
+    mean(-best_score + sum(rest)) (reference fusion_net.py:54-65).
+    """
+    scores = jnp.sum(jnp.max(maps, axis=(3, 4)), axis=2)   # [B, P]
+    best = jnp.argmax(scores, axis=1)                       # [B]
+    best_score = jnp.take_along_axis(scores, best[:, None], 1)[:, 0]
+    rest = jnp.sum(scores, axis=1) - best_score
+    match_loss = jnp.mean(-best_score + rest)
+    att = jnp.take_along_axis(
+        maps, best[:, None, None, None, None], axis=1)[:, 0]  # [B,C,H,W]
+    return match_loss, best, att
+
+
+def _random_slot_swap(blocks: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+    """Randomly swap the two audio chunks per sample (reference AO_forward,
+    fusion_net.py:96-98: one-hot gather of a fair coin)."""
+    B, C, Dc = blocks.shape
+    swap = jax.random.uniform(rng, (B,)) <= 0.5
+    perm = jnp.where(swap[:, None], jnp.asarray([1, 0])[None, :],
+                     jnp.asarray([0, 1])[None, :])  # [B, C]
+    return jnp.take_along_axis(blocks, perm[:, :, None], axis=1)
+
+
+def _ao_forward(x: jnp.ndarray, rng: jax.Array, C: int = 2) -> FusionOut:
+    """Audio-only path: shuffle the per-source chunks and broadcast them as
+    the guidance (reference fusion_net.py:93-104)."""
+    B, h, w, D = x.shape
+    blocks = _random_slot_swap(_pool_chunks(x, C), rng)
+    guidance = _broadcast_guidance(blocks, h, w)
+    return FusionOut(jnp.concatenate([guidance, x], axis=-1), None, None)
+
+
+def _duet_vcat(v: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+    """Duet option: concatenate the two frame maps along a random spatial dim
+    and duplicate (reference fusion_net.py:83-90)."""
+    coin = jax.random.uniform(rng, ()) > 0.5
+    cat_h = jnp.concatenate([v[0], v[1]], axis=1)  # [B, 2H, W, Dc]
+    cat_w = jnp.concatenate([v[0], v[1]], axis=2)  # [B, H, 2W, Dc]
+    # pad to a common shape then select (static shapes under jit)
+    Hh, Wh = cat_h.shape[1], cat_h.shape[2]
+    Hw, Ww = cat_w.shape[1], cat_w.shape[2]
+    H, W = max(Hh, Hw), max(Wh, Ww)
+    # NOTE: for square inputs (H==W) both concats have identical shape and
+    # no padding occurs; non-square duet maps fall back to axis-1 concat.
+    if (Hh, Wh) == (Hw, Ww):
+        vc = jnp.where(coin, cat_h, cat_w)
+    else:
+        vc = cat_h
+    return jnp.stack([vc, vc], axis=0)  # [C=2, B, H', W', Dc]
+
+
+def coloc(x: jnp.ndarray, v: Optional[jnp.ndarray], *, att_type: str = "cos",
+          rng: Optional[jax.Array] = None, option: Optional[str] = None,
+          select: bool = False) -> FusionOut:
+    """CoLoc / CoLoc_Sel fusion (reference fusion_net.py:20-226).
+
+    Args:
+      x: bottleneck audio features [B, h, w, D].
+      v: stacked visual maps [C, B, H, W, D/C] or None (audio-only batch).
+      att_type: 'cos' | 'sig'.
+      rng: PRNG key; required for AO path and 'duet' option.
+      option: None | 'duet'.
+      select: False -> CoLoc (attention-pooled guidance); True -> CoLoc_Sel
+        (argmax-pixel guidance, reference fusion_net.py:163-169).
+    """
+    if v is None:
+        return _ao_forward(x, rng)
+    if option == "duet":
+        v = _duet_vcat(v, rng)
+
+    B, h, w, D = x.shape
+    C = v.shape[0]
+    blocks = _pool_chunks(x, C)                     # [B, C, Dc]
+    x_t = _perm_stack(blocks)                       # [B, P, C, Dc]
+    v_cat = jnp.moveaxis(v, 0, 1)                   # [B, C, H, W, Dc]
+    maps = _attend(x_t, v_cat[:, None], att_type)   # [B, P, C, H, W]
+    match_loss, _, att = _score_and_sort(maps)
+
+    if select:
+        # argmax-pixel selection (reference fusion_net.py:163-169)
+        Bv, Cv, H, W, Dc = v_cat.shape
+        flat_att = att.reshape(B, C, H * W)
+        max_ind = jnp.argmax(flat_att, axis=-1)            # [B, C]
+        v_flat = v_cat.reshape(B, C, H * W, Dc)
+        feat = jnp.take_along_axis(
+            v_flat, max_ind[:, :, None, None], axis=2)[:, :, 0]  # [B, C, Dc]
+    else:
+        # attention pooling (reference fusion_net.py:68-70)
+        feat = jnp.max(v_cat * att[..., None], axis=(2, 3))      # [B, C, Dc]
+
+    guidance = _broadcast_guidance(feat, h, w)
+    return FusionOut(jnp.concatenate([guidance, x], axis=-1), match_loss, att)
+
+
+def mixvis(x: jnp.ndarray, v: Optional[jnp.ndarray], *,
+           att_type: str = "cos", rng: Optional[jax.Array] = None,
+           option: Optional[str] = None) -> FusionOut:
+    """MixVis fusion: a single mixture visual map (reference
+    fusion_net.py:229-311)."""
+    if v is None:
+        return _ao_forward(x, rng)
+    vm = v[0]                                       # [B, H, W, Dc]
+    B, h, w, D = x.shape
+    C = 2
+    Dc = D // C
+    blocks = _pool_chunks(x, C)                     # [B, C, Dc]
+    maps = _attend(blocks, vm[:, None], att_type)   # [B, C, H, W]
+
+    H, W = vm.shape[1], vm.shape[2]
+    map_size = H * W  # reference fusion_net.py:258-259: per-source flat size
+    flat = maps.reshape(B, C, H * W)
+    max_ind = jnp.argmax(flat, axis=-1)
+    v_flat = jnp.broadcast_to(vm.reshape(B, 1, H * W, Dc), (B, C, H * W, Dc))
+    selected = jnp.take_along_axis(
+        v_flat, max_ind[:, :, None, None], axis=2)[:, :, 0]  # [B, C, Dc]
+
+    # match loss: -sum_c max(map_c) + area regularizer + cross-source cosine
+    # penalty (reference fusion_net.py:267-275)
+    scores = -jnp.max(maps, axis=(2, 3))            # [B, C]
+    match_loss = jnp.mean(jnp.sum(scores, axis=-1))
+    match_loss = match_loss + jnp.mean(jnp.sum(flat, axis=(1, 2))) / map_size
+    penalty = jnp.mean(cosine_similarity(selected[:, 0], selected[:, 1],
+                                         axis=1))
+    match_loss = match_loss + penalty
+
+    guidance = _broadcast_guidance(selected, h, w)
+    return FusionOut(jnp.concatenate([guidance, x], axis=-1), match_loss,
+                     maps)
+
+
+def get_fusion(fusion_type: str):
+    """Dispatch like reference ``get_fusion_net`` (fusion_net.py:7-18)."""
+    if fusion_type in ("hidsep", "con_motion", "share", "CoLoc_ClipAtt"):
+        return lambda x, v, **kw: coloc(x, v, select=False, **kw)
+    if fusion_type == "CoLoc_Sel":
+        return lambda x, v, **kw: coloc(x, v, select=True, **kw)
+    if fusion_type == "MixVis":
+        return mixvis
+    raise ValueError(f"unknown fusion_type {fusion_type}")
