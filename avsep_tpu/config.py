@@ -19,7 +19,7 @@ from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
 
-@dataclass
+@dataclass(frozen=True)
 class Config:
     # ---- model (reference arguments.py:9-52) ----
     id: str = ""

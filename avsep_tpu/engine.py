@@ -1,0 +1,298 @@
+"""Forward engines: training losses and end-to-end separation.
+
+TPU-native equivalent of the reference ``NetWrapper`` (``main.py:39-160``)
+and the inference wrapper (``inference.py:29-136``), as pure jit-compiled
+functions:
+
+* STFT runs *inside* the jit region (the reference does per-sample librosa
+  STFT in DataLoader workers, ``dataset/base.py:142-147``) — batches of raw
+  waveforms stream to the device and the whole chain
+  stft -> warp -> log -> U-Net -> masks -> unwarp -> iSTFT is one XLA program.
+* ``forward_av`` reproduces the symmetric double pass: the U-Net runs once
+  with the visual order reversed and once forward, losses averaged and match
+  losses summed (``main.py:113-148``).
+* ``forward_ao`` is the PIT path (``main.py:97-111``).
+* ``forward_avmiximg`` is the MixVis duet path (``main.py:162-192``).
+
+Batch layout (all batch-leading so dim 0 shards on the mesh 'data' axis):
+  audio_mix [B, L], audios [B, N, L], frames [B, N, T, H, W, 3]
+  (precomputed ``mag_mix``/``mags``/``phase_mix`` are accepted too).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from avsep_tpu.config import Config
+from avsep_tpu.models.builder import ModelBuilder, activate
+from avsep_tpu.models import criterion as crit
+from avsep_tpu.ops.prepare import PreparedBatch, prepare
+from avsep_tpu.ops.stft import istft, stft_magphase
+from avsep_tpu.ops.warp import unwarp_mask
+
+
+class Nets(NamedTuple):
+    """Model definitions (reference builds (net_sound, net_frame),
+    main.py:608-622)."""
+    sound: Any
+    frame: Any
+
+
+def build_nets(cfg: Config) -> Nets:
+    import jax.numpy as _jnp
+    dtype = {"float32": _jnp.float32, "bfloat16": _jnp.bfloat16}[cfg.dtype]
+    sound = ModelBuilder.build_sound(
+        arch=cfg.arch_sound, fc_dim=cfg.num_channels,
+        fusion_type=cfg.fusion_type, att_type=cfg.att_type, dtype=dtype)
+    frame = ModelBuilder.build_frame(
+        arch=cfg.arch_frame, fc_dim=cfg.vis_channels,
+        pool_type=cfg.img_pool, dtype=dtype)
+    return Nets(sound, frame)
+
+
+# ------------------------------------------------------------------ helpers
+
+
+def batch_spectrograms(batch: Dict[str, jnp.ndarray], cfg: Config):
+    """Magnitudes from waveforms on device, or pass through precomputed.
+
+    Reproduces ``_mix_n_and_stft`` (dataset/base.py:174-189): the mixture is
+    already the sum of per-source waveforms (each divided by N on the host,
+    dataset/music.py:120).
+    """
+    if "mag_mix" in batch:
+        return batch["mag_mix"], batch["mags"]
+    mag_mix, _ = stft_magphase(batch["audio_mix"], cfg.stft_frame,
+                               cfg.stft_hop)
+    mags, _ = stft_magphase(batch["audios"], cfg.stft_frame, cfg.stft_hop)
+    return mag_mix, mags
+
+
+def _prepare(batch, cfg: Config) -> PreparedBatch:
+    mag_mix, mags = batch_spectrograms(batch, cfg)
+    return prepare(mag_mix, mags, log_freq=bool(cfg.log_freq),
+                   weighted_loss=bool(cfg.weighted_loss),
+                   binary_mask=bool(cfg.binary_mask))
+
+
+def _frame_features(nets: Nets, variables, frames_n, cfg: Config,
+                    train: bool):
+    """One source's frames -> activated feature map/vector
+    (reference main.py:120-122)."""
+    kw = dict(pool=cfg.not_pool_vis, train=train)
+    if train:
+        feats, updates = nets.frame.apply(
+            variables, frames_n, mutable=["batch_stats"], **kw)
+    else:
+        feats, updates = nets.frame.apply(variables, frames_n, **kw), None
+    return activate(feats, cfg.img_activation), updates
+
+
+def _sound_forward(nets: Nets, variables, log_mag, v, cfg: Config,
+                   train: bool, rng=None, option=None):
+    kw = dict(train=train, option=option, fusion_rng=rng)
+    x = log_mag[..., None]  # [B, F, T] -> NHWC
+    if train:
+        (pred, meta), updates = nets.sound.apply(
+            variables, x, v, mutable=["batch_stats"], **kw)
+    else:
+        (pred, meta), updates = nets.sound.apply(variables, x, v, **kw), None
+    return pred, meta, updates
+
+
+# ------------------------------------------------------------ forward passes
+
+
+def forward_ao(nets: Nets, params, batch_stats, batch, cfg: Config,
+               rng: jax.Array, train: bool):
+    """Audio-only PIT forward (reference main.py:97-111)."""
+    prep = _prepare(batch, cfg)
+    sound_vars = {"params": params["sound"],
+                  "batch_stats": batch_stats["sound"]}
+    pred, _, upd = _sound_forward(nets, sound_vars, prep.log_mag_mix, None,
+                                  cfg, train, rng=rng)
+    pred_masks = activate(pred, cfg.output_activation)  # [B, H, W, C]
+
+    gt = jnp.moveaxis(prep.gt_masks, 1, -1)             # [B, H, W, N]
+    w = jnp.stack([prep.weights] * pred_masks.shape[-1], axis=-1)
+    losses, perms = crit.pit_loss(pred_masks, gt, w, kind="bce")
+    err = jnp.mean(losses)
+    ordered = crit.reorder_sources(pred_masks, perms)
+
+    new_stats = dict(batch_stats)
+    if upd is not None:
+        new_stats["sound"] = upd["batch_stats"]
+    outputs = {"pred_masks": jnp.moveaxis(ordered, -1, 1),  # [B, N, H, W]
+               "gt_masks": prep.gt_masks, "mag_mix": prep.mag_mix,
+               "mags": prep.mags, "weight": prep.weights,
+               "match_loss": jnp.zeros(())}
+    return err, (new_stats, outputs)
+
+
+def forward_av(nets: Nets, params, batch_stats, batch, cfg: Config,
+               rng: jax.Array, train: bool):
+    """Audio-visual symmetric double forward (reference main.py:113-148):
+    pass 1 with visual order reversed vs reversed GT, pass 2 forward; loss =
+    (err1 + err0)/2 + match_weight * (match1 + match0)."""
+    prep = _prepare(batch, cfg)
+    N = cfg.num_mix
+
+    frame_vars = {"params": params["frame"],
+                  "batch_stats": batch_stats["frame"]}
+    feats = []
+    fstats = frame_vars
+    for n in range(N):
+        f, upd = _frame_features(nets, fstats, batch["frames"][:, n], cfg,
+                                 train)
+        feats.append(f)
+        if upd is not None:
+            fstats = {"params": params["frame"],
+                      "batch_stats": upd["batch_stats"]}
+
+    sound_vars = {"params": params["sound"],
+                  "batch_stats": batch_stats["sound"]}
+
+    def one_pass(vis_list, gt, svars, pass_rng):
+        v = jnp.stack(vis_list)  # [C, B, h, w, Dv]
+        pred, meta, upd = _sound_forward(nets, svars, prep.log_mag_mix, v,
+                                         cfg, train, rng=pass_rng)
+        preds = [activate(pred[..., n], cfg.output_activation)
+                 for n in range(N)]
+        err = crit.multi_source_loss(
+            jnp.stack(preds), jnp.moveaxis(gt, 1, 0), prep.weights,
+            kind=cfg.loss)
+        return preds, err, meta, upd
+
+    r1, r0 = (jax.random.split(rng) if rng is not None else (None, None))
+    _, err1, meta1, upd1 = one_pass(feats[::-1], prep.gt_masks[:, ::-1],
+                                    sound_vars, r1)
+    svars2 = sound_vars if upd1 is None else {
+        "params": params["sound"], "batch_stats": upd1["batch_stats"]}
+    preds0, err0, meta0, upd0 = one_pass(feats, prep.gt_masks, svars2, r0)
+
+    match_loss = meta1.match_loss + meta0.match_loss
+    err = (err1 + err0) / 2.0 + cfg.match_weight * match_loss
+
+    new_stats = dict(batch_stats)
+    if upd0 is not None:
+        new_stats["sound"] = upd0["batch_stats"]
+        new_stats["frame"] = fstats["batch_stats"]
+    outputs = {"pred_masks": jnp.stack([p for p in preds0], axis=1),
+               "gt_masks": prep.gt_masks, "mag_mix": prep.mag_mix,
+               "mags": prep.mags, "weight": prep.weights,
+               "match_loss": match_loss, "att_maps": meta0.att_maps}
+    return err, (new_stats, outputs)
+
+
+def forward_avmiximg(nets: Nets, params, batch_stats, batch, cfg: Config,
+                     rng: jax.Array, train: bool):
+    """MixVis duet path: frames concatenated along width into one mixture
+    image, PIT loss over the masks (reference main.py:162-192)."""
+    prep = _prepare(batch, cfg)
+    N = cfg.num_mix
+
+    frame_vars = {"params": params["frame"],
+                  "batch_stats": batch_stats["frame"]}
+    # [B, N, T, H, W, 3] -> concat along width
+    mix_frames = jnp.concatenate(
+        [batch["frames"][:, n] for n in range(N)], axis=-2)
+    feat, fupd = _frame_features(nets, frame_vars, mix_frames, cfg, train)
+
+    sound_vars = {"params": params["sound"],
+                  "batch_stats": batch_stats["sound"]}
+    v = jnp.stack([feat])  # single mixture map
+    pred, meta, supd = _sound_forward(nets, sound_vars, prep.log_mag_mix, v,
+                                      cfg, train, rng=rng)
+    pred_masks = activate(pred, cfg.output_activation)  # [B, H, W, S]
+
+    gt = jnp.moveaxis(prep.gt_masks, 1, -1)
+    w = jnp.stack([prep.weights] * N, axis=-1)
+    losses, perms = crit.pit_loss(pred_masks, gt, w, kind="bce")
+    err = jnp.mean(losses) + meta.match_loss * cfg.match_weight
+    ordered = crit.reorder_sources(pred_masks, perms)
+
+    new_stats = dict(batch_stats)
+    if supd is not None:
+        new_stats["sound"] = supd["batch_stats"]
+        new_stats["frame"] = fupd["batch_stats"]
+    outputs = {"pred_masks": jnp.moveaxis(ordered, -1, 1),
+               "gt_masks": prep.gt_masks, "mag_mix": prep.mag_mix,
+               "mags": prep.mags, "weight": prep.weights,
+               "match_loss": meta.match_loss, "maps": meta.att_maps}
+    return err, (new_stats, outputs)
+
+
+def forward(nets: Nets, params, batch_stats, batch, cfg: Config,
+            rng: jax.Array, use_vis: bool, train: bool):
+    """Dispatch like reference NetWrapper.forward (main.py:150-160)."""
+    if use_vis:
+        if cfg.fusion_type == "MixVis":
+            return forward_avmiximg(nets, params, batch_stats, batch, cfg,
+                                    rng, train)
+        return forward_av(nets, params, batch_stats, batch, cfg, rng, train)
+    return forward_ao(nets, params, batch_stats, batch, cfg, rng, train)
+
+
+# --------------------------------------------------------------- separation
+
+
+def separate(nets: Nets, params, batch_stats, audio_mix: jnp.ndarray,
+             frames: Optional[jnp.ndarray], cfg: Config,
+             rng: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
+    """End-to-end batched separation: waveform mixture -> per-source wavs.
+
+    The fused on-device pipeline of reference ``inference.py``
+    (prepare_inferdata :39-52, forward_av/ao :54-86, recover_aud :433-491):
+    stft -> +1e-10 -> warp -> log -> U-Net -> sigmoid -> unwarp ->
+    binary-threshold -> mask * mag -> iSTFT with mixture phase.
+
+    Args:
+      audio_mix: [B, L] mixture waveforms.
+      frames: [B, N, T, H, W, 3] (AV), [B, 1, T, H, W, 3] (duet), or None (AO).
+    Returns dict with 'wavs' [B, N, L'], 'masks_linear' [B, N, F, T],
+    'masks' [B, N, FO, T], 'att_maps' (AV only).
+    """
+    mag_mix, phase_mix = stft_magphase(audio_mix, cfg.stft_frame,
+                                       cfg.stft_hop)
+    prep = prepare(mag_mix, mag_mix[:, None],  # mags unused here
+                   log_freq=bool(cfg.log_freq), weighted_loss=False,
+                   binary_mask=True)
+    sound_vars = {"params": params["sound"],
+                  "batch_stats": batch_stats["sound"]}
+
+    option = None
+    if frames is None:
+        v = None
+    else:
+        frame_vars = {"params": params["frame"],
+                      "batch_stats": batch_stats["frame"]}
+        n_streams = frames.shape[1]
+        feats = []
+        for n in range(n_streams):
+            f, _ = _frame_features(nets, frame_vars, frames[:, n], cfg,
+                                   False)
+            feats.append(f)
+        if n_streams == 1 and cfg.fusion_type != "MixVis":
+            # duet: one visual stream duplicated (reference inference.py:65-73)
+            feats = feats * 2
+        v = jnp.stack(feats)
+
+    pred, meta, _ = _sound_forward(nets, sound_vars, prep.log_mag_mix, v,
+                                   cfg, False, rng=rng, option=option)
+    masks = activate(pred, cfg.output_activation)        # [B, FO, T, C]
+    masks = jnp.moveaxis(masks, -1, 1)                   # [B, C, FO, T]
+    masks_linear = unwarp_mask(masks, HO=cfg.HS)         # [B, C, F, T]
+    if cfg.binary_mask:
+        masks_linear = (masks_linear > cfg.mask_thres).astype(jnp.float32)
+
+    pred_mag = mag_mix[:, None] * masks_linear
+    wavs = istft(pred_mag.astype(jnp.complex64)
+                 * jnp.exp(1j * phase_mix[:, None].astype(jnp.complex64)),
+                 hop=cfg.stft_hop)
+    wavs = jnp.clip(wavs, -1.0, 1.0)
+    return {"wavs": wavs, "masks_linear": masks_linear, "masks": masks,
+            "mag_mix": mag_mix, "phase_mix": phase_mix,
+            "att_maps": meta.att_maps}

@@ -12,8 +12,9 @@ as one jit region so XLA fuses the elementwise chain into the warp matmuls:
 5. ``log(mag_mix)`` as the U-Net input (gradient stopped, reference
    ``main.py:85`` ``.detach()``).
 
-Shapes here are channels-last: magnitudes ``[B, F, T]``, sources stacked on a
-leading axis ``[N, B, F, T]`` (the reference keeps Python lists of
+Shapes here are channels-last and batch-leading so every tensor shards on
+the mesh's ``data`` axis at dim 0: magnitudes ``[B, F, T]``, sources stacked
+at axis 1 ``[B, N, F, T]`` (the reference keeps Python lists of
 ``[B, 1, F, T]``).
 """
 
@@ -30,9 +31,9 @@ from avsep_tpu.ops.warp import warp_spectrogram
 
 class PreparedBatch(NamedTuple):
     mag_mix: jnp.ndarray    # [B, FO, T] warped mixture magnitude
-    mags: jnp.ndarray       # [N, B, FO, T] warped source magnitudes
+    mags: jnp.ndarray       # [B, N, FO, T] warped source magnitudes
     log_mag_mix: jnp.ndarray  # [B, FO, T] U-Net input
-    gt_masks: jnp.ndarray   # [N, B, FO, T]
+    gt_masks: jnp.ndarray   # [B, N, FO, T]
     weights: jnp.ndarray    # [B, FO, T]
 
 
@@ -42,7 +43,7 @@ class PreparedBatch(NamedTuple):
 def prepare(mag_mix: jnp.ndarray, mags: jnp.ndarray, *,
             log_freq: bool = True, weighted_loss: bool = True,
             binary_mask: bool = True, warp_bins: int = 256) -> PreparedBatch:
-    """See module docstring.  ``mag_mix [B, F, T]``, ``mags [N, B, F, T]``."""
+    """See module docstring.  ``mag_mix [B, F, T]``, ``mags [B, N, F, T]``."""
     mag_mix = mag_mix.astype(jnp.float32) + 1e-10
     mags = mags.astype(jnp.float32)
 
@@ -56,9 +57,9 @@ def prepare(mag_mix: jnp.ndarray, mags: jnp.ndarray, *,
         weights = jnp.ones_like(mag_mix)
 
     if binary_mask:
-        gt_masks = (mags > 0.5 * mag_mix[None]).astype(jnp.float32)
+        gt_masks = (mags > 0.5 * mag_mix[:, None]).astype(jnp.float32)
     else:
-        gt_masks = jnp.clip(mags / mag_mix[None], 0.0, 5.0)
+        gt_masks = jnp.clip(mags / mag_mix[:, None], 0.0, 5.0)
 
     log_mag_mix = jax.lax.stop_gradient(jnp.log(mag_mix))
     return PreparedBatch(mag_mix, mags, log_mag_mix, gt_masks, weights)

@@ -1,0 +1,174 @@
+"""End-to-end train-step and sharding tests on the 8-device CPU mesh.
+
+Covers the reference's joint AV+AO training loop semantics (main.py:557-601)
+at toy scale: a small U-Net (ngf=8) + the real dilated ResNet18 on 64px
+frames, batch sharded over the data axis, SGD param groups, LR decay.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from avsep_tpu.config import Config
+from avsep_tpu.engine import Nets, forward
+from avsep_tpu.models.builder import ModelBuilder
+from avsep_tpu.models.resnet import FrameEncoder
+from avsep_tpu.models.unet import AudioUnet
+from avsep_tpu.parallel.mesh import make_mesh, shard_batch, shard_tree
+from avsep_tpu.train import (
+    TrainState, batch_scheduler, init_state, make_eval_forward,
+    make_optimizer, make_train_step)
+
+AUDLEN = 64 * 256 - 1  # -> 64 STFT frames
+
+
+def clone(tree):
+    """Deep-copy arrays so donation in a step can't delete fixture buffers
+    (device_put may alias instead of copying)."""
+    return jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), tree)
+
+
+def tiny_cfg(**kw):
+    base = dict(arch_sound="unet5", num_channels=2, vis_channels=32,
+                fusion_type="hidsep", att_type="sig", loss="bce",
+                not_pool_vis=False,
+                binary_mask=1, weighted_loss=1, log_freq=1, num_mix=2,
+                audLen=AUDLEN, imgSize=64, one_frame=True,
+                output_activation="sigmoid", img_activation="relu",
+                lr_sound=1e-3, lr_frame=1e-4, lr_steps=(5,),
+                match_weight=0.1, batch_size_per_gpu=2)
+    base.update(kw)
+    return Config(**base)
+
+
+def tiny_nets(cfg):
+    sound = AudioUnet(fc_dim=cfg.num_channels, num_downs=5, ngf=8,
+                      fusion_type=cfg.fusion_type, att_type=cfg.att_type)
+    frame = FrameEncoder(fc_dim=cfg.vis_channels, pool_type="maxpool",
+                         dilate_scale=16)
+    return Nets(sound, frame)
+
+
+def tiny_batch(cfg, B=8, seed=0):
+    rs = np.random.RandomState(seed)
+    audios = rs.randn(B, 2, cfg.audLen).astype(np.float32) * 0.1
+    return {
+        "audios": jnp.asarray(audios),
+        "audio_mix": jnp.asarray(audios.sum(1)),
+        "frames": jnp.asarray(
+            rs.rand(B, 2, 1, cfg.imgSize, cfg.imgSize, 3),
+            dtype=jnp.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    nets = tiny_nets(cfg)
+    # init with matching toy shapes (vis bottleneck Dv = ngf*8/C = 32)
+    rng = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(rng)
+    x = jnp.zeros((2, 256, 64, 1))
+    v = jnp.zeros((2, 2, 4, 4, 32))
+    sound_vars = nets.sound.init(k1, x, v, train=False)
+    frames = jnp.zeros((2, 1, 64, 64, 3))
+    frame_vars = nets.frame.init(k2, frames, pool=False, train=False)
+    params = {"sound": sound_vars["params"], "frame": frame_vars["params"]}
+    stats = {"sound": sound_vars["batch_stats"],
+             "frame": frame_vars["batch_stats"]}
+    opt = make_optimizer(cfg, params)
+    state = TrainState(jnp.zeros((), jnp.int32), params, stats,
+                       opt.init(params))
+    return cfg, nets, state
+
+
+def test_forward_av_shapes_and_finiteness(setup):
+    cfg, nets, state = setup
+    batch = tiny_batch(cfg)
+    err, (new_stats, outputs) = forward(
+        nets, state.params, state.batch_stats, batch, cfg,
+        jax.random.PRNGKey(1), use_vis=True, train=False)
+    assert np.isfinite(float(err))
+    assert outputs["pred_masks"].shape == (8, 2, 256, 64)
+    assert outputs["gt_masks"].shape == (8, 2, 256, 64)
+    assert np.isfinite(float(outputs["match_loss"]))
+
+
+def test_forward_ao_shapes(setup):
+    cfg, nets, state = setup
+    batch = tiny_batch(cfg)
+    err, (_, outputs) = forward(
+        nets, state.params, state.batch_stats, batch, cfg,
+        jax.random.PRNGKey(2), use_vis=False, train=False)
+    assert np.isfinite(float(err))
+    assert outputs["pred_masks"].shape == (8, 2, 256, 64)
+
+
+def test_train_step_sharded_av_and_ao(setup):
+    cfg, nets, state0 = setup
+    mesh = make_mesh(8)
+    sharded = shard_tree(clone(state0), mesh)
+
+    step_av = make_train_step(cfg, nets, use_vis=True)
+    step_ao = make_train_step(cfg, nets, use_vis=False)
+
+    batch = shard_batch(tiny_batch(cfg), mesh)
+    rng = jax.random.PRNGKey(3)
+
+    state1, m1 = step_av(sharded, batch, rng)  # donates `sharded`
+    assert np.isfinite(float(m1["err"]))
+    state2, m2 = step_ao(state1, batch, jax.random.PRNGKey(4))
+    assert np.isfinite(float(m2["err"]))
+    assert int(state2.step) == 2
+
+    # params actually changed vs the original (undonated) state
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        state0.params["sound"], state2.params["sound"])
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+def test_loss_decreases_on_repeated_batch(setup):
+    cfg, nets, state0 = setup
+    mesh = make_mesh(8)
+    state = shard_tree(clone(state0), mesh)
+    cfg2 = cfg.replace(lr_sound=1e-2, lr_steps=())
+    step = make_train_step(cfg2, nets, use_vis=False)
+    batch = shard_batch(tiny_batch(cfg), mesh)
+    errs = []
+    for i in range(6):
+        state, m = step(state, batch, jax.random.PRNGKey(7))
+        errs.append(float(m["err"]))
+    assert errs[-1] < errs[0]
+
+
+def test_fix_vis_freezes_frame_params(setup):
+    cfg, nets, state0 = setup
+    cfg2 = cfg.replace(fix_vis=True)
+    copy = clone(state0)  # donation-safe copy
+    opt = make_optimizer(cfg2, copy.params)
+    state = TrainState(copy.step, copy.params, copy.batch_stats,
+                       opt.init(copy.params))
+    step = make_train_step(cfg2, nets, use_vis=True)
+    batch = tiny_batch(cfg)
+    state1, _ = step(state, batch, jax.random.PRNGKey(5))
+    # frame.features unchanged, frame.fc (sound group) updated
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        state0.params["frame"]["features"],
+        state1.params["frame"]["features"])
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+
+
+def test_batch_scheduler_matches_reference_gating():
+    cfg = tiny_cfg(start_av_first=True, num_fsteps=3, iter_per_av=2)
+    use_vis = batch_scheduler(cfg)
+    # start_av_first: AV while i < num_fsteps or every iter_per_av
+    assert [use_vis(i) for i in range(8)] == [
+        True, True, True, False, True, False, True, False]
+    cfg = tiny_cfg(start_av_first=False, num_fsteps=3, iter_per_av=2)
+    use_vis = batch_scheduler(cfg)
+    assert [use_vis(i) for i in range(8)] == [
+        False, False, False, False, True, False, True, False]

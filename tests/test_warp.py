@@ -96,7 +96,7 @@ def test_prepare_matches_reference_math():
     log_mag = torch.log(tm_w)
 
     out = prepare(jnp.asarray(mag_mix[:, 0]),
-                  jnp.asarray(np.stack([m[:, 0] for m in mags])),
+                  jnp.asarray(np.stack([m[:, 0] for m in mags], axis=1)),
                   log_freq=True, weighted_loss=True, binary_mask=True)
     np.testing.assert_allclose(np.asarray(out.mag_mix), tm_w[:, 0].numpy(),
                                rtol=1e-4, atol=2e-4)
@@ -106,7 +106,7 @@ def test_prepare_matches_reference_math():
                                log_mag[:, 0].numpy(), rtol=1e-3, atol=1e-3)
     for n in range(N):
         # binary masks: identical except at exact grid-sample ties
-        diff = np.abs(np.asarray(out.gt_masks[n]) - gt[n][:, 0].numpy())
+        diff = np.abs(np.asarray(out.gt_masks[:, n]) - gt[n][:, 0].numpy())
         assert diff.mean() < 1e-4
 
 
@@ -114,7 +114,7 @@ def test_ratio_mask_mode():
     from avsep_tpu.ops.prepare import prepare
     rs = np.random.RandomState(4)
     mag_mix = rs.rand(1, 512, 64).astype(np.float32)
-    mags = rs.rand(2, 1, 512, 64).astype(np.float32) * 10
+    mags = rs.rand(1, 2, 512, 64).astype(np.float32) * 10
     out = prepare(jnp.asarray(mag_mix), jnp.asarray(mags), binary_mask=False)
     arr = np.asarray(out.gt_masks)
     assert arr.max() <= 5.0 and arr.min() >= 0.0
