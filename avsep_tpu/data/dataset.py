@@ -1,0 +1,222 @@
+"""MUSIC mixture dataset: manifests, mixing policy, deterministic sampling.
+
+Host-side equivalent of reference ``dataset/base.py`` + ``dataset/music.py``:
+CSV manifests (rows ``audio_path, frames_dir, num_frames, fps,
+audio_len_sec, class``), on-the-fly N=2 mixing with partner-selection
+strategies (``dc`` different-class / ``sc`` same-class / ``sv`` same-video /
+``random`` / ``vis1``), silence-rejecting crop retries, and center-frame
+loading with temporally consistent transforms.
+
+Determinism: the reference reseeds the *global* ``random`` per index
+(``dataset/music.py:280``), which is worker-unsafe by design (SURVEY.md
+appendix).  Here each ``__getitem__`` uses a local ``random.Random(seed ^
+index)`` so results are reproducible per index AND thread-safe.
+
+Unlike the reference, no STFT happens here — raw waveforms ship to the
+device and the spectrogram pipeline runs on-TPU (see avsep_tpu.engine).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import random
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from avsep_tpu.config import Config
+from avsep_tpu.data.audio_io import load_audio_crop
+from avsep_tpu.data.video_transforms import train_transform, val_transform
+
+MUSIC11_CLASSES = [
+    "accordion", "acoustic_guitar", "cello", "clarinet", "erhu", "flute",
+    "saxophone", "trumpet", "tuba", "violin", "xylophone"]
+
+
+def read_manifest(csv_path: str) -> List[List[str]]:
+    """Rows with >= 2 columns (reference dataset/base.py:61-70)."""
+    rows = []
+    with open(csv_path, "r") as f:
+        for row in csv.reader(f, delimiter=","):
+            if len(row) < 2:
+                continue
+            rows.append(row)
+    return rows
+
+
+class MusicMixDataset:
+    """Deterministic-by-index mixture sampler (reference MUSICMixDataset)."""
+
+    def __init__(self, csv_path, cfg: Config, split: str = "val",
+                 seed: Optional[int] = None, random_sample: bool = False,
+                 vis_data: Optional[str] = None, classes=None):
+        self.cfg = cfg
+        self.split = split
+        self.random_sample = random_sample
+        self.vis_data = vis_data
+        self.seed = seed if seed is not None else cfg.seed
+        self.classes = list(classes or MUSIC11_CLASSES)
+        self.class_int_map = {k: v for v, k in enumerate(self.classes)}
+
+        if isinstance(csv_path, str):
+            self.list_samples = read_manifest(csv_path)
+        else:
+            self.list_samples = list(csv_path)
+        self.dict_samples: Dict[str, list] = {}
+        for s in self.list_samples:
+            self.dict_samples.setdefault(s[-1], []).append(s)
+
+        # repeat + shuffle (reference dataset/base.py:75-81)
+        if split == "train":
+            self.list_samples = self.list_samples * cfg.train_repeat
+            random.Random(self.seed).shuffle(self.list_samples)
+        else:
+            self.list_samples = self.list_samples * cfg.val_repeat
+        assert len(self.list_samples) > 0
+
+    def __len__(self):
+        return len(self.list_samples)
+
+    # ---------------------------------------------------------- sampling
+
+    def get_samples(self, index: int, option: str, rng: random.Random):
+        """Partner selection (reference dataset/music.py:57-93)."""
+        cfg = self.cfg
+        infos = [self.list_samples[index]]
+        sound_cls = self.list_samples[index][-1]
+        if option == "dc":
+            # restrict to classes actually present in the manifest (the
+            # reference assumes the full MUSIC-11 class list is populated)
+            left = [c for c in self.classes
+                    if c != sound_cls and c in self.dict_samples]
+            for _ in range(cfg.num_mix - 1):
+                cls = rng.choice(left)
+                infos.append(rng.choice(self.dict_samples[cls]))
+        elif option == "sc":
+            for _ in range(cfg.num_mix - 1):
+                infos.append(rng.choice(self.dict_samples[sound_cls]))
+        elif option == "sv":
+            for _ in range(cfg.num_mix - 1):
+                infos.append(self.list_samples[index])
+        elif option == "random":
+            for _ in range(cfg.num_mix - 1):
+                infos.append(self.list_samples[
+                    rng.randint(0, len(self.list_samples) - 1)])
+        elif option == "vis1":
+            infos = [rng.choice(self.dict_samples["cello"])]
+            for _ in range(cfg.num_mix - 1):
+                infos.append(rng.choice(self.dict_samples["flute"]))
+        return infos
+
+    def get_audios(self, infos, rng: random.Random):
+        """Silence-rejecting crops; each source scaled by 1/N then summed
+        (reference dataset/music.py:96-130)."""
+        cfg = self.cfg
+        aud_sec = cfg.audSec
+        audios, center_times = [], []
+        for info in infos:
+            apath, _, num_f, fps, a_len = info[0], info[1], info[2], \
+                info[3], info[4]
+            act_len = min(float(num_f) / float(fps), float(a_len))
+            for j in range(10):
+                end = act_len - cfg.margin - aud_sec / 2
+                start = cfg.margin + aud_sec / 2
+                if start > end:
+                    end = act_len - aud_sec / 2
+                    start = aud_sec / 2
+                t = rng.uniform(0 + start, end)
+                aud = load_audio_crop(
+                    apath, t, aud_len=cfg.audLen, aud_rate=cfg.audRate,
+                    margin=cfg.margin, rng=rng, train=self.split == "train")
+                if self.split == "train":
+                    is_silent = bool(np.all(aud == 0))
+                else:
+                    frac = (np.abs(aud) < 0.001).sum() / cfg.audLen
+                    is_silent = frac > cfg.max_silent
+                if not is_silent or j == 9:
+                    if is_silent:
+                        print(f"Load {apath} failed.")
+                    center_times.append(t)
+                    audios.append(aud / cfg.num_mix)
+                    break
+        mixture = np.sum(np.asarray(audios), axis=0)
+        return audios, mixture, center_times
+
+    def frame_paths(self, info, center_t: float, rng: random.Random
+                    ) -> List[str]:
+        """Center-frame index arithmetic (reference dataset/music.py:132-156)."""
+        cfg = self.cfg
+        _, fpath, num_f, fps = info[0], info[1], info[2], float(info[3])
+        center_idx = round(center_t * fps)
+        paths = []
+        if cfg.one_frame:
+            shift = rng.randint(-cfg.stride_frames, cfg.stride_frames)
+            paths.append(os.path.join(fpath,
+                                      "{:06d}.jpg".format(center_idx + shift)))
+        else:
+            for i in range(cfg.num_frames):
+                off = (i - cfg.num_frames // 2) * cfg.stride_frames
+                paths.append(os.path.join(
+                    fpath, "{:06d}.jpg".format(center_idx + off)))
+        return paths
+
+    def get_frames(self, infos, center_times, rng: random.Random):
+        cfg = self.cfg
+        out = []
+        for info, t in zip(infos, center_times):
+            paths = self.frame_paths(info, t, rng)
+            imgs = [Image.open(p).convert("RGB") for p in paths]
+            if self.split == "train":
+                out.append(train_transform(imgs, cfg.imgSize, rng))
+            else:
+                out.append(val_transform(imgs, cfg.imgSize))
+        return np.stack(out)  # [N, T, H, W, 3]
+
+    def get_ids_labels(self, infos, index, center_times):
+        """Sample name string + class ids (reference dataset/music.py:231-243)."""
+        cls_ls, cls_ids, id_ls = [], [], []
+        cts = [str(round(t)) for t in center_times]
+        for info in infos:
+            ci = self.class_int_map[info[-1]]
+            cls_ls.append(str(ci))
+            cls_ids.append(ci)
+            id_ls.append(os.path.basename(info[0]).split(".")[0][:4])
+        name = (str(index) + "_cls" + "_".join(cls_ls) + "_ids"
+                + "_".join(id_ls) + "_ct" + "_".join(cts))
+        return name, np.asarray(cls_ids, np.int32)
+
+    # ---------------------------------------------------------- getitem
+
+    def __getitem__(self, index: int) -> Dict:
+        cfg = self.cfg
+        rng = random.Random((self.seed << 32) ^ index)
+
+        if self.random_sample:
+            infos = self.get_samples(index, "random", rng)
+        elif self.vis_data:
+            infos = self.get_samples(index, self.vis_data, rng)
+        else:
+            # nested fresh draws, faithfully (reference music.py:288-293)
+            if rng.random() < cfg.rate_dc:
+                infos = self.get_samples(index, "dc", rng)
+            elif rng.random() < cfg.rate_dc + cfg.rate_sc:
+                infos = self.get_samples(index, "sc", rng)
+            elif rng.random() < cfg.rate_dc + cfg.rate_sc + cfg.rate_sv:
+                infos = self.get_samples(index, "sv", rng)
+            else:
+                infos = self.get_samples(index, "dc", rng)
+
+        audios, mixture, center_times = self.get_audios(infos, rng)
+        frames = self.get_frames(infos, center_times, rng)
+        name, class_ids = self.get_ids_labels(infos, index, center_times)
+
+        return {
+            "audios": np.asarray(audios, np.float32),     # [N, L]
+            "audio_mix": mixture.astype(np.float32),      # [L]
+            "frames": frames.astype(np.float32),          # [N, T, H, W, 3]
+            "id": name,
+            "class": class_ids,
+            "infos": infos,
+        }

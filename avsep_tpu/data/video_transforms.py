@@ -1,0 +1,95 @@
+"""Temporally-consistent video frame transforms (numpy/PIL, NHWC output).
+
+Equivalent of reference ``dataset/video_transforms.py``: each transform
+applies ONE random draw to the whole list of frames so a clip stays
+temporally consistent.  Output is a float32 [T, H, W, 3] array, ImageNet-
+normalized (the reference stacks to C x T x H x W; we keep TPU-native
+channels-last).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import List, Sequence
+
+import numpy as np
+from PIL import Image
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def resize_shorter(frames: List[Image.Image], size: int) -> List[Image.Image]:
+    """Resize shorter side to ``size`` (bicubic), like torchvision Resize
+    with an int argument (reference base.py:100,104)."""
+    out = []
+    for img in frames:
+        w, h = img.size
+        if w < h:
+            nw, nh = size, int(round(size * h / w))
+        else:
+            nw, nh = int(round(size * w / h)), size
+        out.append(img.resize((nw, nh), Image.BICUBIC))
+    return out
+
+
+def center_crop(frames: List[Image.Image], size: int) -> List[Image.Image]:
+    out = []
+    for img in frames:
+        w, h = img.size
+        left = int(round((w - size) / 2.0))
+        top = int(round((h - size) / 2.0))
+        out.append(img.crop((left, top, left + size, top + size)))
+    return out
+
+
+def random_crop(frames: List[Image.Image], size: int,
+                rng: random.Random) -> List[Image.Image]:
+    """One crop position for the whole clip (reference
+    video_transforms.py:68-123: get_params drawn once)."""
+    w, h = frames[0].size
+    if w == size and h == size:
+        return frames
+    left = rng.randint(0, max(w - size, 0))
+    top = rng.randint(0, max(h - size, 0))
+    return [img.crop((left, top, left + size, top + size)) for img in frames]
+
+
+def random_hflip(frames: List[Image.Image],
+                 rng: random.Random) -> List[Image.Image]:
+    """One coin for the whole clip (reference video_transforms.py:126-152)."""
+    if rng.random() < 0.5:
+        return [img.transpose(Image.FLIP_LEFT_RIGHT) for img in frames]
+    return frames
+
+
+def to_normalized_array(frames: Sequence[Image.Image]) -> np.ndarray:
+    """PIL list -> [T, H, W, 3] float32, /255 then ImageNet-normalized
+    (reference video_transforms.py:155-203)."""
+    arrs = [np.asarray(img.convert("RGB"), np.float32) / 255.0
+            for img in frames]
+    x = np.stack(arrs)  # T, H, W, 3
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def train_transform(frames: List[Image.Image], img_size: int,
+                    rng: random.Random) -> np.ndarray:
+    """Resize(1.1x) -> RandomCrop -> RandomHFlip -> normalize
+    (reference dataset/base.py:99-110)."""
+    frames = resize_shorter(frames, int(img_size * 1.1))
+    frames = random_crop(frames, img_size, rng)
+    frames = random_hflip(frames, rng)
+    return to_normalized_array(frames)
+
+
+def val_transform(frames: List[Image.Image], img_size: int) -> np.ndarray:
+    """Resize -> CenterCrop -> normalize (reference dataset/base.py:103-106)."""
+    frames = resize_shorter(frames, img_size)
+    frames = center_crop(frames, img_size)
+    return to_normalized_array(frames)
+
+
+def denormalize(frame: np.ndarray) -> np.ndarray:
+    """[H, W, 3] normalized -> uint8 RGB (reference utils.recover_rgb)."""
+    x = frame * IMAGENET_STD + IMAGENET_MEAN
+    return (np.clip(x, 0, 1) * 255).astype(np.uint8)

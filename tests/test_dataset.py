@@ -1,0 +1,132 @@
+"""Input pipeline tests on a synthetic manifest (tones + jpg frames),
+covering the reference dataset contract (dataset/music.py:275-331):
+deterministic per-index sampling, 1/N source scaling, mixture = sum,
+silence rejection, frame path arithmetic, transforms, and batching."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from avsep_tpu.config import Config
+from avsep_tpu.data.audio_io import load_audio_crop, read_wav, write_wav
+from avsep_tpu.data.dataset import MusicMixDataset, read_manifest
+from avsep_tpu.data.loader import BatchLoader, ConcatDataset
+
+SR = 11025
+AUDLEN = 4 * 256 * 16 - 1  # small crop for speed
+
+
+@pytest.fixture(scope="module")
+def manifest(tmp_path_factory):
+    root = tmp_path_factory.mktemp("music")
+    rows = []
+    rs = np.random.RandomState(0)
+    for ci, cls in enumerate(["cello", "flute", "violin"]):
+        os.makedirs(root / cls, exist_ok=True)
+        for vid in range(2):
+            dur = 12.0
+            n = int(SR * dur)
+            t = np.arange(n) / SR
+            wav = 0.4 * np.sin(2 * np.pi * (220 + 110 * ci + 13 * vid) * t)
+            apath = root / cls / f"vid{ci}{vid}.wav"
+            write_wav(str(apath), wav.astype(np.float32), SR)
+            fdir = root / cls / f"vid{ci}{vid}.mp4"
+            os.makedirs(fdir, exist_ok=True)
+            fps = 5.0
+            for fi in range(int(dur * fps) + 2):
+                img = Image.fromarray(
+                    rs.randint(0, 255, (80, 100, 3), np.uint8))
+                img.save(fdir / "{:06d}.jpg".format(fi))
+            rows.append([str(apath), str(fdir), str(int(dur * fps)),
+                         str(fps), str(dur), cls])
+    csv_path = root / "train.csv"
+    with open(csv_path, "w") as f:
+        for r in rows:
+            f.write(",".join(r) + "\n")
+    return str(csv_path)
+
+
+def make_cfg(**kw):
+    base = dict(audLen=AUDLEN, audRate=SR, imgSize=48, num_frames=3,
+                stride_frames=2, one_frame=False, margin=1.0,
+                train_repeat=2, val_repeat=2, rate_dc=1.0, num_mix=2,
+                max_silent=0.9)
+    base.update(kw)
+    return Config(**base)
+
+
+def test_wav_roundtrip(tmp_path):
+    x = (np.random.RandomState(1).randn(SR) * 0.2).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    write_wav(p, x, SR)
+    y, sr = read_wav(p)
+    assert sr == SR
+    np.testing.assert_allclose(y, x, atol=1e-4)
+
+
+def test_load_audio_crop_pads_and_clamps(tmp_path):
+    x = np.ones(SR, np.float32)
+    p = str(tmp_path / "ones.wav")
+    write_wav(p, x, SR)
+    out = load_audio_crop(p, 0.5, aud_len=2 * SR, aud_rate=SR, margin=0.0)
+    assert out.shape == (2 * SR,)
+    assert out.max() <= 1.0
+    assert (out == 0).sum() > 0  # zero-padded tail
+
+
+def test_manifest_and_determinism(manifest):
+    cfg = make_cfg()
+    ds = MusicMixDataset(manifest, cfg, split="train", seed=3)
+    assert len(ds) == 6 * cfg.train_repeat
+    a = ds[5]
+    b = ds[5]
+    np.testing.assert_array_equal(a["audios"], b["audios"])
+    assert a["id"] == b["id"]
+    c = ds[6]
+    assert c["id"] != a["id"]
+
+
+def test_sample_contract(manifest):
+    cfg = make_cfg()
+    ds = MusicMixDataset(manifest, cfg, split="val")
+    s = ds[0]
+    N = cfg.num_mix
+    assert s["audios"].shape == (N, AUDLEN)
+    assert s["frames"].shape == (N, cfg.num_frames, 48, 48, 3)
+    np.testing.assert_allclose(
+        s["audio_mix"], s["audios"].sum(0), atol=1e-6)
+    # each source divided by num_mix before summing (music.py:120)
+    assert np.abs(s["audios"]).max() <= 0.5 + 1e-6
+    # dc strategy: different classes
+    assert s["infos"][0][-1] != s["infos"][1][-1]
+
+
+def test_one_frame_mode(manifest):
+    cfg = make_cfg(one_frame=True)
+    ds = MusicMixDataset(manifest, cfg, split="train")
+    s = ds[0]
+    assert s["frames"].shape[1] == 1
+
+
+def test_same_video_strategy(manifest):
+    cfg = make_cfg(rate_dc=0.0, rate_sc=0.0, rate_sv=1.0)
+    ds = MusicMixDataset(manifest, cfg, split="val")
+    s = ds[1]
+    assert s["infos"][0] == s["infos"][1]
+
+
+def test_batch_loader_and_concat(manifest):
+    cfg = make_cfg()
+    ds = ConcatDataset([
+        MusicMixDataset(manifest, cfg, split="val"),
+        MusicMixDataset(manifest, cfg, split="val", seed=10)])
+    loader = BatchLoader(ds, batch_size=4, shuffle=True, num_workers=4,
+                         seed=1)
+    batches = list(loader)
+    assert sum(b["audio_mix"].shape[0] for b in batches) == len(ds)
+    b0 = batches[0]
+    assert b0["audios"].shape[1:] == (2, AUDLEN)
+    assert b0["frames"].ndim == 6  # B, N, T, H, W, 3
+    assert isinstance(b0["id"][0], str)
