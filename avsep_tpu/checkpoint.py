@@ -1,0 +1,61 @@
+"""Checkpointing: Orbax save/restore of params + optimizer state + step.
+
+The reference saves per-net ``state_dict`` files ``{sound,frame}_
+{latest,best}.pth`` plus a pickled history (reference ``main.py:506-533``)
+and — a known gap — loses optimizer momentum and LR-schedule position on
+resume (SURVEY.md §5).  Here the whole TrainState (params, batch_stats,
+SGD momentum, step) round-trips through Orbax; the latest/best-by-val_ao-
+SI-SDR policy is identical (``main.py:524-526``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from avsep_tpu.train import TrainState
+
+
+def _ckptr():
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, history: dict,
+                    tag: str = "latest") -> None:
+    path = os.path.join(os.path.abspath(ckpt_dir), f"state_{tag}")
+    host_state = jax.device_get(state)
+    _ckptr().save(path, host_state._asdict(), force=True)
+    with open(os.path.join(ckpt_dir, "history_latest.json"), "w") as f:
+        json.dump(history, f)
+
+
+def restore_checkpoint(ckpt_dir: str, template: TrainState,
+                       tag: str = "latest") -> TrainState:
+    path = os.path.join(os.path.abspath(ckpt_dir), f"state_{tag}")
+    restored = _ckptr().restore(path, item=jax.device_get(template)._asdict())
+    return TrainState(**restored)
+
+
+def load_history(ckpt_dir: str) -> Optional[dict]:
+    p = os.path.join(ckpt_dir, "history_latest.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def checkpoint(ckpt_dir: str, state: TrainState, history: dict,
+               best_err_holder: dict) -> None:
+    """Save latest; promote to best when -val_ao si_sdr improves
+    (reference checkpoint(), main.py:506-533)."""
+    print("Saving checkpoints at {} iterations.".format(int(state.step)))
+    save_checkpoint(ckpt_dir, state, history, "latest")
+    cur_err = -history["val_ao"]["si_sdr"][-1]
+    if cur_err < best_err_holder.get("best_err", float("inf")):
+        best_err_holder["best_err"] = cur_err
+        save_checkpoint(ckpt_dir, state, history, "best")

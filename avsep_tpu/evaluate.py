@@ -1,0 +1,185 @@
+"""Evaluation harness: batched on-device scoring + visualization dumps.
+
+Equivalent of reference ``evaluate()`` / ``calc_metrics`` / ``output_visuals``
+(``main.py:197-503``), re-architected TPU-first: the reference loops
+per-sample on the host (iSTFT + asteroid metrics dominate eval cost,
+SURVEY.md §3.2); here mask unwarping, thresholding, iSTFT resynthesis, and
+the full BSS-eval/SI-SDR sweep run batched inside one jit program — the
+host only aggregates meters and writes results.csv / media.
+"""
+
+from __future__ import annotations
+
+import csv
+import functools
+import os
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avsep_tpu.config import Config
+from avsep_tpu.data.audio_io import write_wav
+from avsep_tpu.data.video_transforms import denormalize
+from avsep_tpu.engine import Nets, forward
+from avsep_tpu.ops.metrics import eval_metrics
+from avsep_tpu.ops.stft import istft, stft_magphase
+from avsep_tpu.ops.warp import unwarp_mask
+from avsep_tpu.utils.media import (
+    combine_video_audio, magnitude2heatmap, makedirs, save_video)
+from avsep_tpu.utils.meters import AverageMeter
+from avsep_tpu.utils.viz import plot_loss_metrics
+
+
+def make_eval_step(cfg: Config, nets: Nets, use_vis: bool):
+    """One jitted program: forward -> unwarp -> threshold -> iSTFT ->
+    BSS metrics (reference main.py:444-451 + calc_metrics :197-286)."""
+
+    @jax.jit
+    def step(params, batch_stats, batch, rng):
+        err, (_, outputs) = forward(nets, params, batch_stats, batch, cfg,
+                                    rng, use_vis, train=False)
+        mag_mix, phase_mix = stft_magphase(batch["audio_mix"],
+                                           cfg.stft_frame, cfg.stft_hop)
+        pred = outputs["pred_masks"]                       # [B, N, FO, T]
+        if cfg.log_freq:
+            pred_lin = unwarp_mask(pred, HO=cfg.HS)        # [B, N, F, T]
+        else:
+            pred_lin = pred
+        if cfg.binary_mask:
+            pred_lin = (pred_lin > cfg.mask_thres).astype(jnp.float32)
+
+        spec = (mag_mix[:, None] * pred_lin).astype(jnp.complex64) \
+            * jnp.exp(1j * phase_mix[:, None].astype(jnp.complex64))
+        preds_wav = jnp.clip(istft(spec, cfg.stft_hop), -1.0, 1.0)
+        L = preds_wav.shape[-1]
+
+        # all-zero predictions -> noise floor (reference main.py:248-249)
+        allzero = jnp.all(preds_wav == 0, axis=-1, keepdims=True)
+        noise = 0.01 * jax.random.uniform(rng, preds_wav.shape)
+        preds_wav = jnp.where(allzero, noise, preds_wav)
+
+        gts_wav = batch["audios"][..., :L]
+        metrics = eval_metrics(gts_wav, preds_wav)
+        metrics["err"] = err
+        metrics["match_loss"] = outputs["match_loss"]
+        return metrics, outputs, preds_wav
+
+    return step
+
+
+def evaluate(cfg: Config, nets: Nets, params, batch_stats, loader, history,
+             itera: int, use_vis_eval: bool = True,
+             write_visuals: bool = True) -> None:
+    """Full val sweep (reference evaluate(), main.py:421-503)."""
+    print("Evaluating at {} iterations...".format(itera))
+    vis_root = os.path.join(cfg.ckpt, "visualization")
+    makedirs(vis_root, remove=False)
+
+    step = make_eval_step(cfg, nets, use_vis_eval)
+    meters = {k: AverageMeter() for k in
+              ("loss", "match", "sdr", "sir", "sar", "si_sdr")}
+    csv_ls: List[Dict] = []
+    vis_budget = cfg.num_vis
+
+    print("Start evaluation for",
+          "audio visual" if use_vis_eval else "audio only")
+    rng = jax.random.PRNGKey(cfg.seed)
+    for i, batch in enumerate(loader):
+        rng, sub = jax.random.split(rng)
+        dev_batch = {k: jnp.asarray(v) for k, v in batch.items()
+                     if isinstance(v, np.ndarray)}
+        metrics, outputs, preds_wav = step(params, batch_stats, dev_batch,
+                                           sub)
+        metrics = jax.device_get(metrics)
+        meters["loss"].update(float(metrics["err"]))
+        meters["match"].update(float(np.mean(metrics["match_loss"]))
+                               if use_vis_eval else 0.0)
+        for k in ("sdr", "sir", "sar", "si_sdr"):
+            meters[k].update(float(np.mean(metrics[k])))
+        for n in range(len(metrics["sdr"])):
+            csv_ls.append({"id": batch["id"][n],
+                           "sdr": float(metrics["sdr"][n]),
+                           "sir": float(metrics["sir"][n]),
+                           "si-snr": float(metrics["si_sdr"][n])})
+        if write_visuals and vis_budget > 0:
+            n_vis = min(vis_budget, len(batch["id"]))
+            output_visuals(vis_root, cfg, batch, jax.device_get(outputs),
+                           jax.device_get(preds_wav), n_vis, use_vis_eval)
+            vis_budget -= n_vis
+
+    print("[Eval Summary] iterations: {}, Loss: {:.4f}, Loss_match: {:.4f}"
+          "SDR_mixture: {:.4f}, SI-SDR: {:.4f}, SDR: {:.4f}, SIR: {:.4f}, "
+          "SAR: {:.4f}".format(
+              itera, meters["loss"].average(), meters["match"].average(),
+              0.0, meters["si_sdr"].average(), meters["sdr"].average(),
+              meters["sir"].average(), meters["sar"].average()))
+
+    keyname = "val_av" if use_vis_eval else "val_ao"
+    history[keyname]["iter"].append(itera)
+    history[keyname]["err"].append(meters["loss"].average())
+    history[keyname]["sdr"].append(meters["sdr"].average())
+    history[keyname]["sir"].append(meters["sir"].average())
+    history[keyname]["sar"].append(meters["sar"].average())
+    history[keyname]["si_sdr"].append(meters["si_sdr"].average())
+
+    # per-sample results.csv (reference main.py:493-498)
+    save_dir = os.path.join(vis_root, "av" if use_vis_eval else "ao")
+    makedirs(save_dir, remove=False)
+    with open(os.path.join(save_dir, "results.csv"), "w") as f:
+        writer = csv.DictWriter(f, fieldnames=["id", "sdr", "sir", "si-snr"])
+        writer.writeheader()
+        writer.writerows(csv_ls)
+
+    if itera > 0:
+        print("Plotting figures...")
+        plot_loss_metrics(cfg.ckpt, history)
+
+
+def output_visuals(vis_root: str, cfg: Config, batch, outputs, preds_wav,
+                   n_vis: int, use_vis_eval: bool) -> None:
+    """Per-sample media dumps: masks, spectrograms, wavs, frame videos, AV
+    mux (reference output_visuals, main.py:290-418)."""
+    from imageio import imwrite as imsave
+
+    save_pth = os.path.join(vis_root, "av" if use_vis_eval else "ao")
+    makedirs(save_pth, remove=False)
+    N = cfg.num_mix
+    gt_masks = outputs["gt_masks"]       # [B, N, FO, T]
+    pred_masks = outputs["pred_masks"]   # [B, N, FO, T]
+    mag_mix_warp = outputs["mag_mix"]    # [B, FO, T]
+    weight = outputs["weight"]
+
+    for j in range(n_vis):
+        prefix = batch["id"][j]
+        makedirs(os.path.join(save_pth, prefix), remove=False)
+        mix_amp = magnitude2heatmap(mag_mix_warp[j])
+        imsave(os.path.join(save_pth, prefix, "mix.jpg"),
+               mix_amp[::-1, :, :])
+        imsave(os.path.join(save_pth, prefix, "weight.jpg"),
+               magnitude2heatmap(weight[j], log=False, scale=100.0)[::-1])
+        write_wav(os.path.join(save_pth, prefix, "mix.wav"),
+                  batch["audio_mix"][j], cfg.audRate)
+
+        for n in range(N):
+            pm = (np.clip(pred_masks[j, n], 0, 1) * 255).astype(np.uint8)
+            gm = (np.clip(gt_masks[j, n], 0, 1) * 255).astype(np.uint8)
+            imsave(os.path.join(save_pth, prefix,
+                                f"predmask{n + 1}.jpg"), pm[::-1])
+            imsave(os.path.join(save_pth, prefix,
+                                f"gtmask{n + 1}.jpg"), gm[::-1])
+            write_wav(os.path.join(save_pth, prefix, f"pred{n + 1}.wav"),
+                      preds_wav[j, n], cfg.audRate)
+            write_wav(os.path.join(save_pth, prefix, f"gt{n + 1}.wav"),
+                      batch["audios"][j, n], cfg.audRate)
+
+            frames = batch["frames"][j, n]  # [T, H, W, 3] normalized
+            rgb = np.stack([denormalize(f) for f in frames])
+            vid_path = os.path.join(save_pth, prefix, f"video{n + 1}.mp4")
+            save_video(vid_path, rgb, fps=max(cfg.frameRate
+                                              / cfg.stride_frames, 1))
+            combine_video_audio(
+                vid_path,
+                os.path.join(save_pth, prefix, f"gt{n + 1}.wav"),
+                os.path.join(save_pth, prefix, f"av{n + 1}.mp4"))

@@ -1,0 +1,164 @@
+"""Train / eval orchestration CLI — ``python -m avsep_tpu.main --mode train``.
+
+Reference-compatible entry point (reference ``main.py:604-801``): same flags
+(scripts/train_MUSIC.sh strings parse unchanged), same loop structure —
+AV/AO batch interleaving, disp/eval/checkpoint cadence, per-iteration
+iter/data timing meters, history dict, latest/best checkpoints — but the
+step itself is a jit-compiled SPMD program over the device mesh and the
+checkpoint carries optimizer state (fixing the reference's resume gap,
+SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avsep_tpu.checkpoint import (
+    checkpoint, load_history, restore_checkpoint, save_checkpoint)
+from avsep_tpu.config import Config, parse_args
+from avsep_tpu.data.dataset import MusicMixDataset
+from avsep_tpu.data.loader import BatchLoader, ConcatDataset, iter_forever
+from avsep_tpu.engine import build_nets
+from avsep_tpu.evaluate import evaluate
+from avsep_tpu.parallel.mesh import make_mesh, shard_batch, shard_tree
+from avsep_tpu.train import (
+    batch_scheduler, init_state, make_train_step)
+from avsep_tpu.utils.meters import AverageMeter, new_history
+from avsep_tpu.utils.media import makedirs
+
+
+def build_loaders(cfg: Config):
+    """AV / AO / val loaders (reference main.py:633-657)."""
+    av_ds = ConcatDataset([MusicMixDataset(p, cfg, split="train")
+                           for p in cfg.av_list_train])
+    ao_ds = ConcatDataset([MusicMixDataset(p, cfg, split="train", seed=10)
+                           for p in cfg.ao_list_train])
+    val_ds = ConcatDataset([MusicMixDataset(p, cfg, split="val")
+                            for p in cfg.list_val])
+    mk = lambda ds, sh: BatchLoader(ds, cfg.batch_size, shuffle=sh,
+                                    num_workers=int(cfg.workers),
+                                    seed=cfg.seed)
+    return mk(av_ds, True), mk(ao_ds, True), BatchLoader(
+        val_ds, cfg.batch_size, shuffle=False, num_workers=4, seed=cfg.seed)
+
+
+def to_device(batch, mesh):
+    dev = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)
+           and v.dtype != object and k != "class"}
+    return shard_batch(dev, mesh)
+
+
+def main(cfg: Config):
+    print("Model ID: {}".format(cfg.id))
+    ckpt_root = os.path.join(cfg.ckpt, cfg.id)
+    cfg = cfg.replace(ckpt=ckpt_root)
+    makedirs(cfg.ckpt, remove=False)
+
+    mesh = make_mesh()
+    nets = build_nets(cfg)
+    rng = jax.random.PRNGKey(cfg.seed)
+    rng, init_rng = jax.random.split(rng)
+    state = init_state(cfg, nets, init_rng, mesh=mesh)
+
+    history = new_history()
+    start_i = 0
+    if cfg.load_ckpt:
+        h = load_history(cfg.ckpt)
+        if h is not None:
+            history = h
+            start_i = history["train"]["iter"][-1] if history["train"]["iter"] else 0
+            state = restore_checkpoint(cfg.ckpt, state, "latest")
+            print("Recovered from history.")
+
+    av_loader, ao_loader, val_loader = build_loaders(cfg)
+
+    if cfg.mode == "eval":
+        if not cfg.load_ckpt:
+            try:
+                state = restore_checkpoint(cfg.ckpt, state, "best")
+            except Exception:
+                print("WARNING: no best checkpoint found; evaluating "
+                      "current params")
+        evaluate(cfg, nets, state.params, state.batch_stats, val_loader,
+                 history, 0, True)
+        evaluate(cfg, nets, state.params, state.batch_stats, val_loader,
+                 history, 0, False)
+        print("Evaluation Done!")
+        return
+
+    step_av = make_train_step(cfg, nets, use_vis=True)
+    step_ao = make_train_step(cfg, nets, use_vis=False)
+    use_vis_fn = batch_scheduler(cfg)
+    av_iter, ao_iter = iter_forever(av_loader), iter_forever(ao_loader)
+
+    iter_time, data_time = AverageMeter(), AverageMeter()
+    match_meter = AverageMeter()
+    best_holder = {"best_err": float("inf")}
+    err_total = err_av = err_ao = 0.0
+    av_count = ao_count = 0
+
+    for i in range(start_i + 1, cfg.num_iters):
+        tic = time.perf_counter()
+        use_vis = use_vis_fn(i)
+        batch = to_device(next(av_iter if use_vis else ao_iter), mesh)
+        data_time.update(time.perf_counter() - tic)
+
+        rng, sub = jax.random.split(rng)
+        step = step_av if use_vis else step_ao
+        state, metrics = step(state, batch, sub)
+        err = float(metrics["err"])
+        match_loss = float(metrics["match_loss"]) if use_vis else None
+        iter_time.update(time.perf_counter() - tic)
+
+        err_total += err
+        if use_vis:
+            match_meter.update(match_loss)
+            err_av += err - match_loss * cfg.match_weight
+            av_count += 1
+        else:
+            err_ao += err
+            ao_count += 1
+
+        if i % cfg.disp_iter == 0 and i != 0:
+            print("iter: [{}/{}], Time: {:.2f}, Data: {:.2f}, "
+                  "lr_sound: {}, lr_frame: {}, loss: {:.3f}, "
+                  "loss_ao: {:.3f}, loss_av: {:.3f} loss_match {:.3f}"
+                  .format(i, cfg.num_iters, iter_time.average(),
+                          data_time.average(), cfg.lr_sound, cfg.lr_frame,
+                          err_total / cfg.disp_iter,
+                          err_ao / ao_count if ao_count else 0.0,
+                          err_av / av_count if av_count else 0.0,
+                          match_meter.average() if use_vis else 0))
+            history["train"]["iter"].append(i)
+            history["train"]["err"].append(err_total / cfg.disp_iter)
+            if ao_count:
+                history["train_ao"]["iter"].append(i)
+                history["train_ao"]["err"].append(err_ao / ao_count)
+            if av_count:
+                history["train_av"]["iter"].append(i)
+                history["train_av"]["err"].append(err_av / av_count)
+            err_total = err_av = err_ao = 0.0
+            av_count = ao_count = 0
+            match_meter.initialize(0, 0)
+
+        if i % cfg.eval_iter == 0 and i > 1:
+            evaluate(cfg, nets, state.params, state.batch_stats, val_loader,
+                     history, i, True)
+            evaluate(cfg, nets, state.params, state.batch_stats, val_loader,
+                     history, i, False)
+            checkpoint(cfg.ckpt, state, history, best_holder)
+        # LR decay happens inside the optax schedule at cfg.lr_steps.
+
+    print("Training Done!")
+
+
+if __name__ == "__main__":
+    cfg = parse_args()
+    np.random.seed(cfg.seed)
+    main(cfg)

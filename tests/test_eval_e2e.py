@@ -1,0 +1,101 @@
+"""End-to-end eval + checkpoint round-trip on the synthetic manifest
+(reference flow: main.py:684-686 eval mode; checkpoint :506-533)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from avsep_tpu.data.loader import BatchLoader
+from avsep_tpu.evaluate import evaluate
+from avsep_tpu.train import TrainState, init_state, make_optimizer
+from avsep_tpu.utils.meters import new_history
+from tests.test_dataset import manifest, make_cfg  # noqa: F401  (fixture)
+from tests.test_train_step import tiny_cfg, tiny_nets, AUDLEN
+
+
+@pytest.fixture(scope="module")
+def small_setup(manifest, tmp_path_factory):  # noqa: F811
+    ckpt = tmp_path_factory.mktemp("ckpt")
+    cfg = tiny_cfg(audLen=AUDLEN, imgSize=64, num_frames=1, one_frame=True,
+                   margin=1.0, val_repeat=1, num_vis=1,
+                   batch_size_per_gpu=4, num_gpus=1,
+                   ckpt=str(ckpt), train_repeat=1,
+                   list_val=(manifest,))
+    nets = tiny_nets(cfg)
+    rng = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(rng)
+    x = jnp.zeros((2, 256, 64, 1))
+    v = jnp.zeros((2, 2, 4, 4, 32))
+    sound_vars = nets.sound.init(k1, x, v, train=False)
+    frames = jnp.zeros((2, 1, 64, 64, 3))
+    frame_vars = nets.frame.init(k2, frames, pool=False, train=False)
+    params = {"sound": sound_vars["params"], "frame": frame_vars["params"]}
+    stats = {"sound": sound_vars["batch_stats"],
+             "frame": frame_vars["batch_stats"]}
+    opt = make_optimizer(cfg, params)
+    state = TrainState(jnp.zeros((), jnp.int32), params, stats,
+                       opt.init(params))
+    return cfg, nets, state
+
+
+def test_evaluate_end_to_end(small_setup, manifest):  # noqa: F811
+    cfg, nets, state = small_setup
+    from avsep_tpu.data.dataset import MusicMixDataset
+    ds = MusicMixDataset(manifest, cfg, split="val")
+    loader = BatchLoader(ds, 4, shuffle=False, num_workers=2)
+    history = new_history()
+    evaluate(cfg, nets, state.params, state.batch_stats, loader, history, 0,
+             use_vis_eval=True, write_visuals=False)
+    evaluate(cfg, nets, state.params, state.batch_stats, loader, history, 0,
+             use_vis_eval=False, write_visuals=False)
+    assert len(history["val_av"]["sdr"]) == 1
+    assert len(history["val_ao"]["si_sdr"]) == 1
+    assert np.isfinite(history["val_av"]["sdr"][0])
+    # results.csv written per branch
+    for branch in ("av", "ao"):
+        p = os.path.join(cfg.ckpt, "visualization", branch, "results.csv")
+        assert os.path.exists(p)
+        assert len(open(p).readlines()) == len(ds) + 1
+
+
+def test_checkpoint_roundtrip(small_setup, tmp_path):
+    cfg, nets, state = small_setup
+    from avsep_tpu.checkpoint import (
+        restore_checkpoint, save_checkpoint, load_history)
+    history = new_history()
+    history["train"]["iter"].append(7)
+    save_checkpoint(str(tmp_path), state, history, "latest")
+    template = jax.tree_util.tree_map(jnp.zeros_like, state)
+    restored = restore_checkpoint(str(tmp_path), template, "latest")
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    h = load_history(str(tmp_path))
+    assert h["train"]["iter"] == [7]
+
+
+def test_separate_pipeline(small_setup):
+    """Waveform in -> separated waveforms out (reference inference flow)."""
+    cfg, nets, state = small_setup
+    from avsep_tpu.engine import separate
+    rs = np.random.RandomState(0)
+    mix = jnp.asarray(rs.randn(2, cfg.audLen).astype(np.float32) * 0.1)
+    frames = jnp.asarray(rs.rand(2, 2, 1, 64, 64, 3).astype(np.float32))
+    out = separate(nets, state.params, state.batch_stats, mix, frames, cfg)
+    L = cfg.stft_hop * ((cfg.audLen + 1) // cfg.stft_hop - 1)
+    assert out["wavs"].shape == (2, 2, L)
+    assert np.isfinite(np.asarray(out["wavs"])).all()
+    assert out["masks_linear"].shape == (2, 2, cfg.HS, cfg.WS)
+    # AO path
+    out_ao = separate(nets, state.params, state.batch_stats, mix, None, cfg,
+                      rng=jax.random.PRNGKey(0))
+    assert out_ao["wavs"].shape == (2, 2, L)
+    # duet path: single visual stream
+    out_duet = separate(nets, state.params, state.batch_stats, mix,
+                        frames[:, :1], cfg)
+    assert out_duet["wavs"].shape == (2, 2, L)
