@@ -1,0 +1,149 @@
+"""Benchmark: batched duet separation throughput (clips/sec/chip).
+
+Measures the flagship end-to-end separation pipeline on the available
+accelerator — waveform mixture -> on-device STFT -> log-freq warp -> U-Net7
+(hidsep/sig fusion) + dilated ResNet18-256 visual guidance -> masks ->
+unwarp -> threshold -> iSTFT -> per-source waveforms — and compares against
+the reference's CPU throughput for the same workload (PyTorch reference
+modules loaded read-only, scipy STFT/iSTFT standing in for librosa).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+B = 8            # batch of duet clips per device call
+ITERS = 20       # timed iterations
+CPU_BASELINE_CACHE = os.path.join(os.path.dirname(__file__),
+                                  ".bench_cpu_baseline.json")
+
+
+def tpu_throughput():
+    import jax
+    import jax.numpy as jnp
+    from avsep_tpu.config import Config
+    from avsep_tpu.engine import build_nets, separate
+    from avsep_tpu.train import init_state
+
+    cfg = Config(arch_sound="unet7", num_channels=2, vis_channels=256,
+                 fusion_type="hidsep", att_type="sig", not_pool_vis=False,
+                 img_activation="relu", output_activation="sigmoid",
+                 binary_mask=1, weighted_loss=1, log_freq=1, one_frame=True)
+    nets = build_nets(cfg)
+    state = init_state(cfg, nets, jax.random.PRNGKey(0))
+
+    @jax.jit
+    def fn(audio_mix, frames):
+        out = separate(nets, state.params, state.batch_stats, audio_mix,
+                       frames, cfg)
+        return out["wavs"]
+
+    rs = np.random.RandomState(0)
+    audio_mix = jnp.asarray(rs.randn(B, cfg.audLen).astype(np.float32) * 0.1)
+    frames = jnp.asarray(rs.rand(B, 2, 1, 224, 224, 3).astype(np.float32))
+
+    t0 = time.time()
+    fn(audio_mix, frames).block_until_ready()
+    compile_s = time.time() - t0
+    print(f"# compile {compile_s:.1f}s on {jax.devices()[0]}",
+          file=sys.stderr)
+
+    t0 = time.time()
+    for _ in range(ITERS):
+        wavs = fn(audio_mix, frames)
+    wavs.block_until_ready()
+    dt = time.time() - t0
+    return B * ITERS / dt
+
+
+def cpu_reference_throughput():
+    """Reference PyTorch pipeline on CPU for the same duet workload."""
+    if os.path.exists(CPU_BASELINE_CACHE):
+        with open(CPU_BASELINE_CACHE) as f:
+            return json.load(f)["clips_per_sec"]
+
+    import torch
+    from scipy.signal import stft as sp_stft, istft as sp_istft, get_window
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from reference_loader import load_reference_models
+    from test_resnet_parity import TResNet18  # torchvision-compatible trunk
+
+    audio_net = load_reference_models()[0]
+    torch.manual_seed(0)
+    unet = audio_net.Unet(fc_dim=2, num_downs=7, fusion_type="hidsep",
+                          att_type="sig").eval()
+    trunk = TResNet18().eval()
+    fc = torch.nn.Conv2d(512, 256, 3, padding=1)
+
+    import numpy as _np
+    from avsep_tpu.ops.warp import warpgrid
+    import torch.nn.functional as F
+
+    rs = _np.random.RandomState(0)
+    bs = 2  # small batch, amortized per-clip
+    wav = rs.randn(bs, 65535).astype(_np.float32) * 0.1
+    frames = torch.rand(bs * 2, 3, 224, 224)
+    win = get_window("hann", 1022, fftbins=True)
+
+    def run_once():
+        with torch.no_grad():
+            mags = []
+            for b in range(bs):
+                _, _, Z = sp_stft(wav[b], nperseg=1022, noverlap=1022 - 256,
+                                  window=win, boundary="even",
+                                  padded=False)
+                mags.append(_np.abs(Z))
+            mag = torch.from_numpy(_np.stack(mags)[:, None]).float()
+            T = mag.shape[-1]
+            grid = torch.from_numpy(warpgrid(bs, 256, T, True))
+            warped = F.grid_sample(mag + 1e-10, grid, align_corners=False)
+            log_mag = torch.log(warped)
+            feat = fc(trunk(frames))
+            _, C, H, W = feat.shape
+            v = [torch.relu(feat[:bs]), torch.relu(feat[bs:])]
+            masks, _ = unet(log_mag, v)
+            masks = torch.sigmoid(masks)
+            un = torch.from_numpy(warpgrid(bs, 512, masks.shape[-1], False))
+            lin = F.grid_sample(masks, un, align_corners=False)
+            lin = (lin > 0.5).float().numpy()
+            for b in range(bs):
+                for n in range(2):
+                    _, x = sp_istft(mags[b] * lin[b, n], nperseg=1022,
+                                    noverlap=1022 - 256, window=win)
+        return x
+
+    run_once()  # warmup
+    t0 = time.time()
+    n_iter = 3
+    for _ in range(n_iter):
+        run_once()
+    cps = bs * n_iter / (time.time() - t0)
+    with open(CPU_BASELINE_CACHE, "w") as f:
+        json.dump({"clips_per_sec": cps}, f)
+    return cps
+
+
+def main():
+    value = tpu_throughput()
+    try:
+        baseline = cpu_reference_throughput()
+    except Exception as e:
+        print(f"# cpu baseline failed: {e}", file=sys.stderr)
+        baseline = None
+    vs = (value / baseline) if baseline else None
+    print(json.dumps({
+        "metric": "duet clips/sec/chip (batched AV separation, "
+                  "unet7+resnet18dilated, e2e wav->wav)",
+        "value": round(value, 3),
+        "unit": "clips/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,7 +28,13 @@ def load_reference_models():
     if _loaded:
         return _loaded["modules"]
 
-    _stub("nis").match = None
+    class _Permissive(types.ModuleType):
+        def __getattr__(self, name):
+            return None
+
+    for mod in ("nis", "turtle"):
+        if mod not in sys.modules:
+            sys.modules[mod] = _Permissive(mod)
     import torch
     # reference fusion_net hard-codes .cuda() (fusion_net.py:96,212,297)
     torch.Tensor.cuda = lambda self, *a, **k: self
