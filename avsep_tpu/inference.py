@@ -1,0 +1,151 @@
+"""Single-clip separation demo + attention-overlay videos.
+
+Equivalent of reference ``inference.py`` (NetWrapper :29-136, get_audio
+:230-252, vis_video :537-578, recover_aud :433-491, plot_save_att
+:493-534): load a checkpoint, take one duet (or synthetic mix) clip, run
+separation, and write separated wavs, mask jpgs, attention-overlay videos,
+and AV-muxed mp4s.
+
+TPU-first difference: the reference forwards the network once per display
+frame in a Python loop (``inference.py:557-569``); here all display frames
+of the 6-second window batch into ONE device call — the audio branch is
+computed once and the visual branch is batched over frames.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import List, Optional
+
+import numpy as np
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from avsep_tpu.config import Config, parse_args
+from avsep_tpu.data.audio_io import read_wav, resample, write_wav
+from avsep_tpu.data.video_transforms import val_transform
+from avsep_tpu.engine import Nets, build_nets, separate
+from avsep_tpu.utils.media import (
+    combine_video_audio, magnitude2heatmap, makedirs, save_video)
+
+AUD_SEC = 6  # fixed demo window (reference inference.py:198)
+
+
+def get_demo_audio(a_path: str, num_f, fps, a_len, cfg: Config,
+                   seed: int = 8):
+    """Random 6 s window (reference get_audfuncs, inference.py:197-228)."""
+    rng = random.Random(seed)
+    act_len = min(int(num_f) / float(fps), float(a_len))
+    start, end = AUD_SEC / 2, act_len - AUD_SEC / 2
+    c_t = rng.uniform(start, end)
+    wav = np.zeros(cfg.audLen, np.float32)
+    raw, sr = read_wav(a_path, c_t - AUD_SEC / 2, AUD_SEC)
+    raw = resample(raw, sr, cfg.audRate)
+    center_idx = int((AUD_SEC / 2) * cfg.audRate)
+    s = max(0, center_idx - cfg.audLen // 2)
+    e = min(len(raw), center_idx + cfg.audLen // 2 + cfg.audLen % 2)
+    wav[: e - s] = raw[s:e]
+    np.clip(wav, -1.0, 1.0, out=wav)
+    return wav, c_t
+
+
+def load_display_frames(fdir: str, center_t: float, fps: float,
+                        cfg: Config, span_sec: float = AUD_SEC
+                        ) -> List[np.ndarray]:
+    """All display frames over the window (reference vis_video loop)."""
+    n = int(round(fps * span_sec))
+    start = int(round((center_t - span_sec / 2) * fps))
+    frames = []
+    for i in range(n):
+        p = os.path.join(fdir, "{:06d}.jpg".format(max(start + i, 0)))
+        img = Image.open(p).convert("RGB")
+        frames.append(val_transform([img], cfg.imgSize)[0])
+    return frames
+
+
+def attention_overlay(frame_norm: np.ndarray, att_map: np.ndarray
+                      ) -> np.ndarray:
+    """JET heatmap blended 0.4/0.6 over the frame (reference
+    plot_save_att, inference.py:509-534)."""
+    import cv2
+    from avsep_tpu.data.video_transforms import denormalize
+    rgb = denormalize(frame_norm)
+    H, W = rgb.shape[:2]
+    att = np.asarray(att_map, np.float64)
+    att = (att - att.min()) / (att.max() - att.min() + 1e-8)
+    heat = cv2.applyColorMap((att * 255).astype(np.uint8),
+                             cv2.COLORMAP_JET)[:, :, ::-1]
+    heat = cv2.resize(heat, (W, H))
+    return (0.6 * rgb + 0.4 * heat).astype(np.uint8)
+
+
+def vis_video(cfg: Config, nets: Nets, params, batch_stats, duet_info,
+              save_folder: str, use_vis: bool = True) -> None:
+    """Attention video demo for one duet clip (reference vis_video,
+    inference.py:537-578)."""
+    a_path, fdir, num_f, fps, a_len = duet_info[:5]
+    fps = float(fps)
+    wav, c_t = get_demo_audio(a_path, num_f, fps, a_len, cfg)
+    frames = load_display_frames(fdir, c_t, fps, cfg)
+    T = len(frames)
+
+    # ONE batched device call: mixture audio replicated across the T frames
+    audio_mix = jnp.asarray(np.broadcast_to(wav, (T, cfg.audLen)).copy())
+    frames_arr = jnp.asarray(np.stack(frames)[:, None, None])  # [T,1,1,H,W,3]
+    out = separate(nets, params, batch_stats, audio_mix,
+                   frames_arr if use_vis else None, cfg,
+                   rng=jax.random.PRNGKey(0))
+    out = jax.device_get(out)
+
+    makedirs(save_folder, remove=False)
+    mid = T // 2
+    # separated audio from the mid frame (reference recover_aud :433-491)
+    for n in range(cfg.num_mix):
+        write_wav(os.path.join(save_folder, f"pred{n + 1}.wav"),
+                  out["wavs"][mid, n], cfg.audRate)
+        mask_img = (np.clip(out["masks"][mid, n], 0, 1) * 255).astype(
+            np.uint8)
+        from imageio import imwrite
+        imwrite(os.path.join(save_folder, f"predmask{n + 1}.jpg"),
+                mask_img[::-1])
+    write_wav(os.path.join(save_folder, "mix.wav"), wav, cfg.audRate)
+    from imageio import imwrite
+    imwrite(os.path.join(save_folder, "mix.jpg"),
+            magnitude2heatmap(out["mag_mix"][mid])[::-1])
+
+    if use_vis and out["att_maps"] is not None:
+        att = out["att_maps"]  # [T, C, h, w]
+        for n in range(cfg.num_mix):
+            overlays = np.stack([
+                attention_overlay(frames[t], att[t, n]) for t in range(T)])
+            vid = os.path.join(save_folder, f"att{n + 1}.mp4")
+            save_video(vid, overlays, fps=fps)
+            combine_video_audio(
+                vid, os.path.join(save_folder, f"pred{n + 1}.wav"),
+                os.path.join(save_folder, f"att_av{n + 1}.mp4"))
+    print(f"Saved demo to {save_folder}")
+
+
+def main(cfg: Config):
+    from avsep_tpu.train import init_state
+    nets = build_nets(cfg)
+    state = init_state(cfg, nets, jax.random.PRNGKey(cfg.seed))
+    if cfg.load_ckpt or (cfg.ckpt and os.path.isdir(
+            os.path.join(cfg.ckpt, cfg.id, "state_best"))):
+        from avsep_tpu.checkpoint import restore_checkpoint
+        state = restore_checkpoint(os.path.join(cfg.ckpt, cfg.id), state,
+                                   "best")
+
+    from avsep_tpu.data.dataset import read_manifest
+    rows = read_manifest(cfg.list_val[0])
+    info = rows[0]
+    save = os.path.join(cfg.ckpt, cfg.id, "demo",
+                        os.path.basename(info[0]).split(".")[0])
+    vis_video(cfg, nets, state.params, state.batch_stats, info, save)
+
+
+if __name__ == "__main__":
+    main(parse_args())
