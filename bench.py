@@ -25,6 +25,14 @@ CPU_BASELINE_CACHE = os.path.join(os.path.dirname(__file__),
 
 def tpu_throughput():
     import jax
+    # persistent compile cache: the axon remote compile of the full graph is
+    # expensive; cache it across bench runs
+    try:
+        cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from avsep_tpu.config import Config
     from avsep_tpu.engine import build_nets, separate

@@ -1,0 +1,192 @@
+// avsep_host — native host-side data-path kernels.
+//
+// The reference's input pipeline burns CPU in Python DataLoader workers on
+// per-sample wav decode, resampling, silence scanning, and mixing
+// (reference dataset/base.py:142-172, dataset/music.py:96-130; identified
+// as a training-throughput bottleneck in SURVEY.md §3.1 "HOT, CPU").  This
+// library implements those host-side hot loops in C++, exposed through a
+// plain C ABI consumed via ctypes (avsep_tpu/data/native.py).  The TPU
+// compute path (STFT onward) is JAX; this covers the host runtime the TPU
+// can't.
+//
+// Build: make -C native   (g++ -O3 -shared -fPIC)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cmath>
+#include <algorithm>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------- wav read
+
+// Minimal RIFF/WAVE PCM reader. Returns 0 on success.
+// Reads `count` frames starting at `start_frame`, converts to float32 mono.
+// Supports PCM 16/24/32-bit and IEEE float32.
+int wav_read_crop(const char* path, int64_t start_frame, int64_t count,
+                  float* out, int64_t* sample_rate_out,
+                  int64_t* frames_read_out) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -1;
+
+    char riff[4];
+    uint32_t riff_size;
+    char wave[4];
+    if (fread(riff, 1, 4, f) != 4 || memcmp(riff, "RIFF", 4) ||
+        fread(&riff_size, 4, 1, f) != 1 ||
+        fread(wave, 1, 4, f) != 4 || memcmp(wave, "WAVE", 4)) {
+        fclose(f);
+        return -2;
+    }
+
+    uint16_t fmt = 0, channels = 0, bits = 0;
+    uint32_t rate = 0;
+    int64_t data_off = -1, data_len = 0;
+
+    // chunk walk
+    while (true) {
+        char id[4];
+        uint32_t sz;
+        if (fread(id, 1, 4, f) != 4 || fread(&sz, 4, 1, f) != 1) break;
+        long next = ftell(f) + sz + (sz & 1);
+        if (!memcmp(id, "fmt ", 4)) {
+            uint16_t block_align;
+            uint32_t byte_rate;
+            fread(&fmt, 2, 1, f);
+            fread(&channels, 2, 1, f);
+            fread(&rate, 4, 1, f);
+            fread(&byte_rate, 4, 1, f);
+            fread(&block_align, 2, 1, f);
+            fread(&bits, 2, 1, f);
+        } else if (!memcmp(id, "data", 4)) {
+            data_off = ftell(f);
+            data_len = sz;
+            break;
+        }
+        if (fseek(f, next, SEEK_SET) != 0) break;
+    }
+    if (data_off < 0 || channels == 0 || rate == 0) {
+        fclose(f);
+        return -3;
+    }
+
+    const int bytes_per = bits / 8;
+    const int64_t frame_bytes = (int64_t)bytes_per * channels;
+    const int64_t total_frames = data_len / frame_bytes;
+    start_frame = std::max<int64_t>(0, std::min(start_frame, total_frames));
+    count = std::min(count, total_frames - start_frame);
+    if (count < 0) count = 0;
+
+    fseek(f, data_off + start_frame * frame_bytes, SEEK_SET);
+    std::vector<uint8_t> buf((size_t)(count * frame_bytes));
+    int64_t got = (int64_t)fread(buf.data(), frame_bytes, (size_t)count, f);
+    fclose(f);
+
+    const double inv_ch = channels ? 1.0 / channels : 1.0;
+    for (int64_t i = 0; i < got; i++) {
+        double acc = 0.0;
+        const uint8_t* p = buf.data() + i * frame_bytes;
+        for (int c = 0; c < channels; c++) {
+            const uint8_t* s = p + c * bytes_per;
+            double v = 0.0;
+            if (fmt == 3 && bits == 32) {          // IEEE float
+                float fv;
+                memcpy(&fv, s, 4);
+                v = fv;
+            } else if (bits == 16) {
+                int16_t iv;
+                memcpy(&iv, s, 2);
+                v = iv / 32768.0;
+            } else if (bits == 24) {
+                int32_t iv = s[0] | (s[1] << 8) | (s[2] << 16);
+                if (iv >= (1 << 23)) iv -= (1 << 24);
+                v = iv / 8388608.0;
+            } else if (bits == 32) {
+                int32_t iv;
+                memcpy(&iv, s, 4);
+                v = iv / 2147483648.0;
+            }
+            acc += v;
+        }
+        out[i] = (float)(acc * inv_ch);
+    }
+    *sample_rate_out = rate;
+    *frames_read_out = got;
+    return 0;
+}
+
+// --------------------------------------------------------------- resample
+
+// Windowed-sinc polyphase resampler (Kaiser-windowed, 16 taps/phase).
+// Equivalent quality class to scipy resample_poly for speech/music crops.
+void resample_sinc(const float* in, int64_t n_in, double sr_in,
+                   float* out, int64_t n_out, double sr_out) {
+    if (sr_in == sr_out) {
+        memcpy(out, in, sizeof(float) * (size_t)std::min(n_in, n_out));
+        for (int64_t i = n_in; i < n_out; i++) out[i] = 0.f;
+        return;
+    }
+    const double ratio = sr_in / sr_out;
+    const double cutoff = std::min(1.0, 1.0 / ratio);
+    const int HALF = 16;
+    for (int64_t i = 0; i < n_out; i++) {
+        const double center = i * ratio;
+        const int64_t lo = (int64_t)std::floor(center) - HALF + 1;
+        const int64_t hi = (int64_t)std::floor(center) + HALF;
+        double acc = 0.0, wsum = 0.0;
+        for (int64_t k = std::max<int64_t>(0, lo);
+             k <= std::min(n_in - 1, hi); k++) {
+            const double x = (k - center) * cutoff;
+            const double sinc = (x == 0.0) ? 1.0
+                : std::sin(M_PI * x) / (M_PI * x);
+            // Hann window over the tap span
+            const double t = (k - center) / (double)HALF;
+            const double w = 0.5 * (1.0 + std::cos(M_PI * std::min(
+                1.0, std::fabs(t))));
+            acc += in[k] * sinc * w * cutoff;
+            wsum += sinc * w * cutoff;
+            (void)wsum;
+        }
+        out[i] = (float)acc;
+    }
+}
+
+// ----------------------------------------------- crop / gain / clamp / scan
+
+// Fraction of samples with |x| < thresh (silence test,
+// reference dataset/music.py:113-117).
+double silence_fraction(const float* x, int64_t n, double thresh) {
+    int64_t c = 0;
+    for (int64_t i = 0; i < n; i++)
+        if (std::fabs(x[i]) < thresh) c++;
+    return n ? (double)c / (double)n : 1.0;
+}
+
+int all_zero(const float* x, int64_t n) {
+    for (int64_t i = 0; i < n; i++)
+        if (x[i] != 0.f) return 0;
+    return 1;
+}
+
+// gain + clamp in place (reference dataset/base.py:164-169)
+void gain_clamp(float* x, int64_t n, float gain) {
+    for (int64_t i = 0; i < n; i++) {
+        float v = x[i] * gain;
+        x[i] = std::max(-1.f, std::min(1.f, v));
+    }
+}
+
+// mixture = sum(sources/num_mix) (reference dataset/music.py:120,127)
+void mix_sources(const float* sources, int64_t n_src, int64_t n,
+                 float* out) {
+    const float inv = 1.f / (float)n_src;
+    for (int64_t i = 0; i < n; i++) out[i] = 0.f;
+    for (int64_t s = 0; s < n_src; s++) {
+        const float* src = sources + s * n;
+        for (int64_t i = 0; i < n; i++) out[i] += src[i] * inv;
+    }
+}
+
+}  // extern "C"
