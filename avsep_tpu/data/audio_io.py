@@ -20,7 +20,23 @@ import numpy as np
 def read_wav(path: str, offset_sec: float = 0.0,
              duration_sec: Optional[float] = None
              ) -> Tuple[np.ndarray, int]:
-    """Read (a slice of) a wav file as float32 mono in [-1, 1]."""
+    """Read (a slice of) a wav file as float32 mono in [-1, 1].
+
+    Uses the C++ reader (native/avsep_host.cpp) when built; falls back to
+    the stdlib ``wave`` parser below.
+    """
+    from avsep_tpu.data import native
+    if native.native_available():
+        probe = native.wav_read_crop(path, 0, 0)
+        if probe is not None:
+            sr = probe[1]
+            start = max(0, int(offset_sec * sr))
+            count = (2 ** 62 if duration_sec is None
+                     else int(duration_sec * sr))
+            got = native.wav_read_crop(path, start,
+                                       min(count, 2 ** 31))
+            if got is not None:
+                return got[0], sr
     import wave
 
     with wave.open(path, "rb") as w:
