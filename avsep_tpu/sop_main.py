@@ -1,0 +1,237 @@
+"""SoP++ train/eval CLI — ``python -m avsep_tpu.sop_main --mode train``.
+
+Equivalent of reference ``SoP++/main.py`` (:723-928): 4-net decomposition
+(basis U-Net with ``extra_size == num_channels``, frame encoder, InnerProd
+synthesizer, parameter-free PIT attention module), SGD groups
+(sound/synthesizer/frame.fc/frame.features; ``create_optimizer`` :743-756),
+3-stage curriculum switched on ``--train_steps`` (:670-688), AV/AO batch
+interleaving, and latest/best checkpoints of the full state.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from avsep_tpu.checkpoint import checkpoint, load_history, restore_checkpoint
+from avsep_tpu.config import Config, parse_args
+from avsep_tpu.data.loader import iter_forever
+from avsep_tpu.main import build_loaders, to_device
+from avsep_tpu.models.resnet import FrameEncoder
+from avsep_tpu.models.sop import BasisUnet
+from avsep_tpu.models.synthesizer import Bias, InnerProd
+from avsep_tpu.parallel.mesh import make_mesh, shard_tree
+from avsep_tpu.sop_engine import SopNets, sop_forward, stage_for_iter
+from avsep_tpu.train import TrainState, _lr_schedule, batch_scheduler
+from avsep_tpu.utils.meters import AverageMeter, new_history
+from avsep_tpu.utils.media import makedirs
+
+_UNET_DOWNS = {"unet5": 5, "unet6": 6, "unet7": 7}
+
+
+def build_sop_nets(cfg: Config) -> SopNets:
+    sound = BasisUnet(fc_dim=cfg.num_channels,
+                      num_downs=_UNET_DOWNS[cfg.arch_sound],
+                      extra_size=cfg.num_channels,  # SoP++/main.py:731
+                      n_sources=cfg.num_mix)
+    frame = FrameEncoder(fc_dim=cfg.vis_channels, pool_type=cfg.img_pool,
+                         dilate_scale=16 if "dilated" in cfg.arch_frame
+                         else 0)
+    synth = (InnerProd(fc_dim=cfg.num_channels)
+             if cfg.arch_synthesizer == "linear" else Bias())
+    return SopNets(sound, frame, synth, None)
+
+
+def init_sop_state(cfg: Config, nets: SopNets, rng) -> TrainState:
+    k1, k2, k3 = jax.random.split(rng, 3)
+    sound_vars = nets.sound.init(k1, jnp.zeros((1, 256, 256, 1)),
+                                 train=False)
+    frame_vars = nets.frame.init(
+        k2, jnp.zeros((1, 1, cfg.imgSize, cfg.imgSize, 3)), pool=False,
+        train=False)
+    synth_vars = nets.synthesizer.init(
+        k3, jnp.zeros((1, cfg.num_channels)),
+        jnp.zeros((1, 8, 8, cfg.num_channels)))
+    params = {"sound": sound_vars["params"], "frame": frame_vars["params"],
+              "synthesizer": synth_vars["params"]}
+    stats = {"sound": sound_vars["batch_stats"],
+             "frame": frame_vars["batch_stats"]}
+    opt = make_sop_optimizer(cfg, params)
+    return TrainState(jnp.zeros((), jnp.int32), params, stats,
+                      opt.init(params))
+
+
+def make_sop_optimizer(cfg: Config, params):
+    """SGD param groups (reference SoP++/main.py:743-756)."""
+    def group(lr):
+        return optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.sgd(_lr_schedule(lr, cfg.lr_steps), momentum=cfg.beta1))
+
+    def frame_label(key):
+        return "sound" if key == "fc" else "frame"
+
+    labels = {
+        "sound": jax.tree_util.tree_map(lambda _: "sound", params["sound"]),
+        "synthesizer": jax.tree_util.tree_map(lambda _: "synth",
+                                              params["synthesizer"]),
+        "frame": {k: jax.tree_util.tree_map(lambda _: frame_label(k), v)
+                  for k, v in params["frame"].items()},
+    }
+    return optax.multi_transform(
+        {"sound": group(cfg.lr_sound), "synth": group(cfg.lr_synthesizer),
+         "frame": (optax.set_to_zero() if cfg.fix_vis
+                   else group(cfg.lr_frame))}, labels)
+
+
+def make_sop_train_step(cfg: Config, nets: SopNets, use_vis: bool,
+                        stage: int):
+    def loss_fn(params, batch_stats, batch, rng):
+        err, (new_stats, outputs) = sop_forward(
+            nets, params, batch_stats, batch, cfg, rng, use_vis, True,
+            stage)
+        return err, (new_stats, outputs["match_loss"])
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch, rng):
+        (err, (new_stats, match)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
+                                   rng)
+        opt = make_sop_optimizer(cfg, state.params)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (TrainState(state.step + 1, params, new_stats, opt_state),
+                {"err": err, "match_loss": match})
+
+    return step
+
+
+def make_sop_eval(cfg: Config, nets: SopNets, use_vis: bool):
+    @jax.jit
+    def fwd(params, batch_stats, batch, rng):
+        err, (_, outputs) = sop_forward(nets, params, batch_stats, batch,
+                                        cfg, rng, use_vis, False, 3)
+        return err, outputs
+    return fwd
+
+
+def main(cfg: Config):
+    print("Model ID: {}".format(cfg.id))
+    cfg = cfg.replace(ckpt=os.path.join(cfg.ckpt, cfg.id))
+    makedirs(cfg.ckpt, remove=False)
+
+    mesh = make_mesh()
+    nets = build_sop_nets(cfg)
+    rng = jax.random.PRNGKey(cfg.seed)
+    rng, init_rng = jax.random.split(rng)
+    state = shard_tree(init_sop_state(cfg, nets, init_rng), mesh)
+
+    history = new_history()
+    start_i = 0
+    if cfg.load_ckpt or cfg.restart_from_latest:
+        h = load_history(cfg.ckpt)
+        if h is not None:
+            history = h
+            start_i = (history["train"]["iter"][-1]
+                       if history["train"]["iter"] else 0)
+            state = restore_checkpoint(cfg.ckpt, state, "latest")
+            print("Recovered from history.")
+
+    av_loader, ao_loader, val_loader = build_loaders(cfg)
+    use_vis_fn = batch_scheduler(cfg)
+    av_iter, ao_iter = iter_forever(av_loader), iter_forever(ao_loader)
+
+    if cfg.mode == "eval":
+        _sop_evaluate(cfg, nets, state, val_loader, history, 0)
+        print("Evaluation Done!")
+        return
+
+    steps: Dict[Tuple[bool, int], object] = {}
+    iter_time, data_time = AverageMeter(), AverageMeter()
+    best_holder = {"best_err": float("inf")}
+
+    for i in range(start_i + 1, cfg.num_iters):
+        tic = time.perf_counter()
+        use_vis = use_vis_fn(i)
+        stage = stage_for_iter(i, cfg.train_steps) if use_vis else 0
+        batch = to_device(next(av_iter if use_vis else ao_iter), mesh)
+        data_time.update(time.perf_counter() - tic)
+
+        key = (use_vis, stage)
+        if key not in steps:
+            steps[key] = make_sop_train_step(cfg, nets, use_vis, max(stage,
+                                                                     1))
+        rng, sub = jax.random.split(rng)
+        state, metrics = steps[key](state, batch, sub)
+        iter_time.update(time.perf_counter() - tic)
+
+        if i % cfg.disp_iter == 0 and i != 0:
+            print("iter: [{}/{}], stage: {}, Time: {:.2f}, Data: {:.2f}, "
+                  "loss: {:.3f}".format(i, cfg.num_iters, stage,
+                                        iter_time.average(),
+                                        data_time.average(),
+                                        float(metrics["err"])))
+            history["train"]["iter"].append(i)
+            history["train"]["err"].append(float(metrics["err"]))
+
+        if i % cfg.eval_iter == 0 and i > 1:
+            _sop_evaluate(cfg, nets, state, val_loader, history, i)
+            checkpoint(cfg.ckpt, state, history, best_holder)
+
+    print("Training Done!")
+
+
+def _sop_evaluate(cfg, nets, state, loader, history, itera):
+    """val sweep for both branches using the SoP++ forward."""
+    from avsep_tpu.ops.metrics import eval_metrics
+    from avsep_tpu.ops.stft import istft, stft_magphase
+    from avsep_tpu.ops.warp import unwarp_mask
+
+    for use_vis in (True, False):
+        fwd = make_sop_eval(cfg, nets, use_vis)
+        meters = {k: AverageMeter() for k in
+                  ("err", "sdr", "sir", "sar", "si_sdr")}
+        rng = jax.random.PRNGKey(cfg.seed)
+        for batch in loader:
+            rng, sub = jax.random.split(rng)
+            dev = {k: jnp.asarray(v) for k, v in batch.items()
+                   if isinstance(v, np.ndarray)}
+            err, outputs = fwd(state.params, state.batch_stats, dev, sub)
+            mag_mix, phase_mix = stft_magphase(dev["audio_mix"],
+                                               cfg.stft_frame, cfg.stft_hop)
+            pred = unwarp_mask(outputs["pred_masks"], HO=cfg.HS)
+            if cfg.binary_mask:
+                pred = (pred > cfg.mask_thres).astype(jnp.float32)
+            spec = (mag_mix[:, None] * pred).astype(jnp.complex64) * \
+                jnp.exp(1j * phase_mix[:, None].astype(jnp.complex64))
+            wavs = jnp.clip(istft(spec, cfg.stft_hop), -1, 1)
+            m = jax.device_get(eval_metrics(
+                dev["audios"][..., :wavs.shape[-1]], wavs))
+            meters["err"].update(float(err))
+            for k in ("sdr", "sir", "sar", "si_sdr"):
+                meters[k].update(float(np.mean(m[k])))
+        key = "val_av" if use_vis else "val_ao"
+        history[key]["iter"].append(itera)
+        for k in ("err",):
+            history[key]["err"].append(meters["err"].average())
+        for k in ("sdr", "sir", "sar", "si_sdr"):
+            history[key][k].append(meters[k].average())
+        print("[SoP++ Eval] {} iter {}: SDR {:.3f} SIR {:.3f} SAR {:.3f} "
+              "SI-SDR {:.3f}".format(key, itera, meters["sdr"].average(),
+                                     meters["sir"].average(),
+                                     meters["sar"].average(),
+                                     meters["si_sdr"].average()))
+
+
+if __name__ == "__main__":
+    cfg = parse_args()
+    if cfg.fusion_type not in ("Base", "MatchAtt"):
+        cfg = cfg.replace(fusion_type="Base")
+    main(cfg)
