@@ -35,6 +35,14 @@ MUSIC11_CLASSES = [
     "saxophone", "trumpet", "tuba", "violin", "xylophone"]
 
 
+# The reference ships a compiled-only MUSICAODataset (dataset/__pycache__/
+# music_ao.cpython-37.pyc, imported by SoP++/main.py:30) whose method surface
+# matches MUSICMixDataset (SURVEY.md §2.1); the audio-only loaders here use
+# the same class.
+def MusicAODataset(*args, **kwargs):
+    return MusicMixDataset(*args, **kwargs)
+
+
 def read_manifest(csv_path: str) -> List[List[str]]:
     """Rows with >= 2 columns (reference dataset/base.py:61-70)."""
     rows = []
@@ -174,6 +182,48 @@ class MusicMixDataset:
                 out.append(val_transform(imgs, cfg.imgSize))
         return np.stack(out)  # [N, T, H, W, 3]
 
+    def get_frames_clips(self, infos, center_times, rng: random.Random):
+        """Clip pipeline (reference ``get_frames_mmcv``, dataset/
+        music.py:202-229; behavior re-derived from ``make_mmcv_dict``
+        :158-168 since the authors' mmaction ops are private): sample
+        ``clip_len`` frames uniformly over ``audSec`` seconds around the
+        center time, plus the ``num_frames`` strided center frames; train
+        aug = Resize(-1,256) -> RandomResizedCrop -> 224, flip; val =
+        Resize(-1,256) -> CenterCrop(224)."""
+        from avsep_tpu.data.video_transforms import (
+            center_crop, random_hflip, random_resized_crop, resize_shorter,
+            to_normalized_array)
+        cfg = self.cfg
+        center_list, clip_list = [], []
+        for info, center_t in zip(infos, center_times):
+            _, fpath, num_f, fps = info[0], info[1], float(info[2]), \
+                float(info[3])
+            # clip frame indices: clip_len uniform over audSec
+            t0 = center_t - cfg.audSec / 2
+            idxs = [int(round((t0 + cfg.audSec * k / cfg.clip_len) * fps))
+                    for k in range(cfg.clip_len)]
+            idxs = [min(max(i, 0), int(num_f) - 1) for i in idxs]
+            # center frames with stride
+            center_idx = round(center_t * fps)
+            if cfg.one_frame:
+                cidx = [center_idx]
+            else:
+                cidx = [center_idx + (i - cfg.num_frames // 2)
+                        * cfg.stride_frames for i in range(cfg.num_frames)]
+            all_imgs = [Image.open(os.path.join(
+                fpath, "{:06d}.jpg".format(i))).convert("RGB")
+                for i in idxs + cidx]
+            all_imgs = resize_shorter(all_imgs, 256)
+            if self.split == "train":
+                all_imgs = random_resized_crop(all_imgs, cfg.imgSize, rng)
+                all_imgs = random_hflip(all_imgs, rng)
+            else:
+                all_imgs = center_crop(all_imgs, min(cfg.imgSize, 224))
+            arr = to_normalized_array(all_imgs)
+            clip_list.append(arr[: cfg.clip_len])
+            center_list.append(arr[cfg.clip_len:])
+        return np.stack(center_list), np.stack(clip_list)
+
     def get_ids_labels(self, infos, index, center_times):
         """Sample name string + class ids (reference dataset/music.py:231-243)."""
         cls_ls, cls_ids, id_ls = [], [], []
@@ -209,9 +259,23 @@ class MusicMixDataset:
                 infos = self.get_samples(index, "dc", rng)
 
         audios, mixture, center_times = self.get_audios(infos, rng)
-        frames = self.get_frames(infos, center_times, rng)
+        clips = None
+        if cfg.load_clips:
+            frames, clips = self.get_frames_clips(infos, center_times, rng)
+        else:
+            frames = self.get_frames(infos, center_times, rng)
         name, class_ids = self.get_ids_labels(infos, index, center_times)
 
+        if clips is not None:
+            return {
+                "audios": np.asarray(audios, np.float32),
+                "audio_mix": mixture.astype(np.float32),
+                "frames": frames.astype(np.float32),
+                "clips": clips.astype(np.float32),  # [N, clip_len, H, W, 3]
+                "id": name,
+                "class": class_ids,
+                "infos": infos,
+            }
         return {
             "audios": np.asarray(audios, np.float32),     # [N, L]
             "audio_mix": mixture.astype(np.float32),      # [L]

@@ -55,6 +55,31 @@ def random_crop(frames: List[Image.Image], size: int,
     return [img.crop((left, top, left + size, top + size)) for img in frames]
 
 
+def random_resized_crop(frames: List[Image.Image], size: int,
+                        rng: random.Random,
+                        scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)
+                        ) -> List[Image.Image]:
+    """torchvision/mmaction-style RandomResizedCrop with one draw for the
+    whole clip (used by the clip pipeline, reference dataset/music.py:181)."""
+    import math
+    w, h = frames[0].size
+    area = w * h
+    for _ in range(10):
+        target = rng.uniform(*scale) * area
+        log_r = (math.log(ratio[0]), math.log(ratio[1]))
+        ar = math.exp(rng.uniform(*log_r))
+        cw = int(round(math.sqrt(target * ar)))
+        ch = int(round(math.sqrt(target / ar)))
+        if 0 < cw <= w and 0 < ch <= h:
+            left = rng.randint(0, w - cw)
+            top = rng.randint(0, h - ch)
+            return [img.crop((left, top, left + cw, top + ch))
+                    .resize((size, size), Image.BICUBIC) for img in frames]
+    # fallback: center crop
+    return [img.resize((size, size), Image.BICUBIC)
+            for img in center_crop(frames, min(w, h))]
+
+
 def random_hflip(frames: List[Image.Image],
                  rng: random.Random) -> List[Image.Image]:
     """One coin for the whole clip (reference video_transforms.py:126-152)."""

@@ -50,7 +50,9 @@ def _lr_schedule(base: float, lr_steps) -> optax.Schedule:
 
 
 def _param_labels(params) -> Dict:
-    """sound/* and frame/fc -> 'sound' group; frame/features -> 'frame'."""
+    """sound/* and frame/fc -> 'sound' group; frame/features -> 'frame';
+    optional motion/* -> 'motion' (reference create_optimizer,
+    main.py:536-547)."""
     def frame_label(path_key):
         return "sound" if path_key == "fc" else "frame"
     labels = {
@@ -58,6 +60,9 @@ def _param_labels(params) -> Dict:
         "frame": {k: jax.tree_util.tree_map(lambda _: frame_label(k), v)
                   for k, v in params["frame"].items()},
     }
+    if "motion" in params:
+        labels["motion"] = jax.tree_util.tree_map(lambda _: "motion",
+                                                  params["motion"])
     return labels
 
 
@@ -70,6 +75,8 @@ def make_optimizer(cfg: Config, params) -> optax.GradientTransformation:
     transforms = {"sound": group(cfg.lr_sound),
                   "frame": (optax.set_to_zero() if cfg.fix_vis
                             else group(cfg.lr_frame))}
+    if "motion" in params:
+        transforms["motion"] = group(cfg.lr_motion)
     return optax.multi_transform(transforms, _param_labels(params))
 
 
@@ -89,6 +96,14 @@ def init_state(cfg: Config, nets: Nets, rng: jax.Array,
     params = {"sound": sound_vars["params"], "frame": frame_vars["params"]}
     stats = {"sound": sound_vars["batch_stats"],
              "frame": frame_vars["batch_stats"]}
+
+    if cfg.load_clips:
+        # motion branch (vestigial in the reference; see models/motion.py)
+        from avsep_tpu.models.motion import ResNet3dFastOnly
+        motion = ResNet3dFastOnly()
+        mvars = motion.init(k3, jnp.zeros((1, 4, 64, 64, 3)), train=False)
+        params["motion"] = mvars["params"]
+        stats["motion"] = mvars["batch_stats"]
 
     if cfg.weights_sound and cfg.weights_sound.endswith(".pth"):
         from avsep_tpu.models.torch_import import load_torch_checkpoint
