@@ -116,6 +116,9 @@ class Config:
     dtype: str = "float32"          # compute dtype for the model
     data_axis: str = "data"          # mesh axis name for DP
     mesh_shape: Tuple[int, ...] = ()  # () -> use all local devices on 1 axis
+    profile_dir: str = ""            # jax.profiler trace output (off if "")
+    profile_start: int = 10          # first profiled iteration
+    profile_steps: int = 5           # number of profiled iterations
 
     # -------------------------------------------------------------- helpers
     @property

@@ -86,13 +86,26 @@ def evaluate(cfg: Config, nets: Nets, params, batch_stats, loader, history,
     print("Start evaluation for",
           "audio visual" if use_vis_eval else "audio only")
     rng = jax.random.PRNGKey(cfg.seed)
+    full_bs = None
     for i, batch in enumerate(loader):
         rng, sub = jax.random.split(rng)
-        dev_batch = {k: jnp.asarray(v) for k, v in batch.items()
-                     if isinstance(v, np.ndarray)}
+        true_bs = len(batch["id"])
+        if full_bs is None:
+            full_bs = true_bs
+        dev_batch = {}
+        for k, v in batch.items():
+            if not isinstance(v, np.ndarray):
+                continue
+            if v.shape[0] < full_bs:  # pad ragged final batch (static jit
+                # shapes); padded rows are dropped from the meters below
+                reps = [v[-1:]] * (full_bs - v.shape[0])
+                v = np.concatenate([v] + reps, axis=0)
+            dev_batch[k] = jnp.asarray(v)
         metrics, outputs, preds_wav = step(params, batch_stats, dev_batch,
                                            sub)
         metrics = jax.device_get(metrics)
+        metrics = {k: (m[:true_bs] if np.ndim(m) else m)
+                   for k, m in metrics.items()}
         meters["loss"].update(float(metrics["err"]))
         meters["match"].update(float(np.mean(metrics["match_loss"]))
                                if use_vis_eval else 0.0)

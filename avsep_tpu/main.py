@@ -43,7 +43,7 @@ def build_loaders(cfg: Config):
                             for p in cfg.list_val])
     mk = lambda ds, sh: BatchLoader(ds, cfg.batch_size, shuffle=sh,
                                     num_workers=int(cfg.workers),
-                                    seed=cfg.seed)
+                                    seed=cfg.seed, drop_last=True)
     return mk(av_ds, True), mk(ao_ds, True), BatchLoader(
         val_ds, cfg.batch_size, shuffle=False, num_workers=4, seed=cfg.seed)
 
@@ -60,7 +60,10 @@ def main(cfg: Config):
     cfg = cfg.replace(ckpt=ckpt_root)
     makedirs(cfg.ckpt, remove=False)
 
-    mesh = make_mesh()
+    # data-parallel width = num_gpus (reference main.py:661 DataParallel
+    # over range(num_gpus)), clamped to the devices actually present
+    n_dev = max(1, min(cfg.num_gpus, len(jax.devices())))
+    mesh = make_mesh(n_dev)
     nets = build_nets(cfg)
     rng = jax.random.PRNGKey(cfg.seed)
     rng, init_rng = jax.random.split(rng)
@@ -104,6 +107,14 @@ def main(cfg: Config):
     av_count = ao_count = 0
 
     for i in range(start_i + 1, cfg.num_iters):
+        # on-demand device trace capture (the reference only has wall-clock
+        # meters, main.py:703-714; this adds real profiler traces)
+        if cfg.profile_dir and i == cfg.profile_start:
+            jax.profiler.start_trace(cfg.profile_dir)
+        if cfg.profile_dir and i == cfg.profile_start + cfg.profile_steps:
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {cfg.profile_dir}")
+
         tic = time.perf_counter()
         use_vis = use_vis_fn(i)
         batch = to_device(next(av_iter if use_vis else ao_iter), mesh)

@@ -17,10 +17,14 @@ librosa semantics reproduced exactly (at float32):
   then trimmed by ``n_fft // 2`` at both ends
   (output length ``hop * (n_frames - 1)`` = 65280 samples).
 
-Design notes (TPU): framing is a gather with a static index matrix; XLA
-lowers it to dynamic slices and fuses the window multiply into the rfft
-prologue.  The scatter-add in ``istft`` uses a static index matrix as well.
-Everything is static-shape, so one compilation serves the whole run.
+Design notes (TPU): framing and overlap-add are *gather/scatter-free*.
+Because each frame spans at most ``K = ceil(n_fft / hop)`` hop-blocks, the
+signal reshapes into ``[T', hop]`` blocks and a frame is the concatenation
+of K consecutive blocks (K shifted static slices); overlap-add is the
+transpose — K shifted adds of the frame chunks.  XLA lowers both to cheap
+strided copies/adds instead of the big gather/scatter a naive indexing
+formulation produces.  Everything is static-shape, so one compilation
+serves the whole run.
 """
 
 from __future__ import annotations
@@ -38,16 +42,51 @@ def hann_periodic(n: int, dtype=np.float32) -> np.ndarray:
     return (0.5 - 0.5 * np.cos(2.0 * np.pi * k / n)).astype(dtype)
 
 
-def _frame_indices(length: int, n_fft: int, hop: int) -> np.ndarray:
-    """Static [n_frames, n_fft] gather indices into the padded signal."""
-    n_frames = 1 + length // hop
-    starts = np.arange(n_frames) * hop
-    return starts[:, None] + np.arange(n_fft)[None, :]
-
-
 def _reflect_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
     """Reflect padding (no edge repeat), matching np.pad(mode='reflect')."""
     return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+
+
+def frame_signal(padded: jnp.ndarray, n_frames: int, n_fft: int,
+                 hop: int) -> jnp.ndarray:
+    """Gather-free framing: ``padded [..., L']`` -> ``[..., T, n_fft]``.
+
+    Reshape into hop-blocks and concatenate K consecutive blocks per frame
+    (K static shifted slices — no gather).  Requires hop | frame starts,
+    which holds by construction.
+    """
+    K = -(-n_fft // hop)  # blocks per frame
+    need = (n_frames + K) * hop
+    extra = need - padded.shape[-1]
+    if extra > 0:
+        padded = jnp.pad(padded,
+                         [(0, 0)] * (padded.ndim - 1) + [(0, extra)])
+    blocks = padded[..., :need].reshape(padded.shape[:-1] + (-1, hop))
+    parts = [blocks[..., m:m + n_frames, :] for m in range(K)]
+    frames = jnp.concatenate(parts, axis=-1)  # [..., T, K*hop]
+    return frames[..., :n_fft]
+
+
+def overlap_add(frames: jnp.ndarray, hop: int, out_len: int) -> jnp.ndarray:
+    """Scatter-free overlap-add: ``frames [..., T, n_fft]`` -> ``[..., L]``.
+
+    Each frame splits into K hop-chunks; chunk m of frame t accumulates
+    into output block t+m — K shifted adds instead of a scatter.
+    """
+    n_fft = frames.shape[-1]
+    T = frames.shape[-2]
+    K = -(-n_fft // hop)
+    pad_tail = K * hop - n_fft
+    if pad_tail:
+        frames = jnp.pad(frames, [(0, 0)] * (frames.ndim - 1)
+                         + [(0, pad_tail)])
+    chunks = frames.reshape(frames.shape[:-1] + (K, hop))  # [..., T, K, hop]
+    nb = T + K - 1
+    out = jnp.zeros(frames.shape[:-2] + (nb, hop), frames.dtype)
+    for m in range(K):
+        out = out.at[..., m:m + T, :].add(chunks[..., :, m, :])
+    flat = out.reshape(frames.shape[:-2] + (nb * hop,))
+    return flat[..., :out_len]
 
 
 @functools.partial(jax.jit, static_argnames=("n_fft", "hop"))
@@ -60,10 +99,12 @@ def stft(audio: jnp.ndarray, n_fft: int = 1022, hop: int = 256) -> jnp.ndarray:
     """
     L = audio.shape[-1]
     pad = n_fft // 2
+    n_frames = 1 + L // hop
     window = jnp.asarray(hann_periodic(n_fft))
-    idx = jnp.asarray(_frame_indices(L, n_fft, hop))
     padded = _reflect_pad(audio.astype(jnp.float32), pad)
-    frames = padded[..., idx] * window  # [..., T, n_fft]
+    # frame starts are multiples of hop only if we absorb the pad offset:
+    # start_t = t*hop into `padded`, so reshape directly applies.
+    frames = frame_signal(padded, n_frames, n_fft, hop) * window
     spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # [..., T, F]
     return jnp.swapaxes(spec, -1, -2)  # [..., F, T]
 
@@ -94,25 +135,19 @@ def istft(spec: jnp.ndarray, hop: int = 256) -> jnp.ndarray:
     frames = frames * jnp.asarray(window)  # [..., T, n_fft]
 
     full_len = n_fft + hop * (T - 1)
-    idx = jnp.asarray(_frame_indices(hop * (T - 1), n_fft, hop))  # [T, n_fft]
-
-    batch_shape = spec.shape[:-2]
-    flat = frames.reshape((-1, T, n_fft))
-    out = jnp.zeros((flat.shape[0], full_len), jnp.float32)
-    out = out.at[:, idx].add(flat)
+    out = overlap_add(frames.astype(jnp.float32), hop, full_len)
 
     # summed squared window (static; computed with numpy at trace time)
     wss = np.zeros(full_len, np.float32)
-    np_idx = _frame_indices(hop * (T - 1), n_fft, hop)
-    np.add.at(wss, np_idx.reshape(-1),
-              np.tile(window ** 2, T).astype(np.float32))
+    w2 = (window ** 2).astype(np.float64)
+    for t in range(T):
+        wss[t * hop: t * hop + n_fft] += w2
     # librosa thresholds by np.finfo(float32).tiny before dividing
     tiny = np.finfo(np.float32).tiny
     denom = np.where(wss > tiny, wss, 1.0).astype(np.float32)
     out = out / jnp.asarray(denom)
 
-    out = out[:, pad: full_len - pad]
-    return out.reshape(batch_shape + (hop * (T - 1),))
+    return out[..., pad: full_len - pad]
 
 
 @functools.partial(jax.jit, static_argnames=("hop",))

@@ -1,0 +1,45 @@
+"""End-to-end CLI train loop smoke test (avsep_tpu.main.main) on the
+synthetic manifest: a few AV/AO-interleaved iterations, one eval tick,
+checkpoint + history round trip — the reference's main() flow
+(main.py:604-765) at toy scale."""
+
+import os
+
+import pytest
+
+from avsep_tpu.config import Config
+from avsep_tpu.main import main
+from tests.test_dataset import manifest  # noqa: F401 (fixture)
+
+AUDLEN = 64 * 256 - 1
+
+
+@pytest.mark.slow
+def test_main_train_loop(manifest, tmp_path):  # noqa: F811
+    cfg = Config(
+        id="testrun", mode="train", arch_sound="unet5", num_channels=2,
+        vis_channels=256, fusion_type="hidsep", att_type="sig",
+        not_pool_vis=False, img_activation="relu",
+        output_activation="sigmoid", loss="bce", binary_mask=1,
+        weighted_loss=1, log_freq=1, num_mix=2, audLen=AUDLEN,
+        imgSize=64, one_frame=True, margin=1.0, num_gpus=1,
+        batch_size_per_gpu=2, workers=2, train_repeat=1, val_repeat=1,
+        num_iters=5, eval_iter=2, disp_iter=2, num_vis=0,
+        iter_per_av=2, start_av_first=True, num_fsteps=0,
+        lr_steps=(100,), ckpt=str(tmp_path / "ckpt"),
+        av_list_train=(manifest,), ao_list_train=(manifest,),
+        list_val=(manifest,), max_silent=0.95, rate_dc=1.0,
+    )
+    main(cfg)
+    run_dir = str(tmp_path / "ckpt" / "testrun")
+    assert os.path.isdir(os.path.join(run_dir, "state_latest"))
+    assert os.path.exists(os.path.join(run_dir, "history_latest.json"))
+    # eval artifacts
+    for branch in ("av", "ao"):
+        assert os.path.exists(os.path.join(
+            run_dir, "visualization", branch, "results.csv"))
+    import json
+    with open(os.path.join(run_dir, "history_latest.json")) as f:
+        h = json.load(f)
+    assert h["train"]["iter"], "training history recorded"
+    assert h["val_ao"]["si_sdr"], "eval ran"
