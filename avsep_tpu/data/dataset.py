@@ -237,6 +237,21 @@ class MusicMixDataset:
                 + "_".join(id_ls) + "_ct" + "_".join(cts))
         return name, np.asarray(cls_ids, np.int32)
 
+    def dummy_mix_data(self):
+        """All-zero fallback sample (reference dataset/base.py:191-205)."""
+        cfg = self.cfg
+        N = cfg.num_mix
+        T = 1 if cfg.one_frame else cfg.num_frames
+        return {
+            "audios": np.zeros((N, cfg.audLen), np.float32),
+            "audio_mix": np.zeros(cfg.audLen, np.float32),
+            "frames": np.zeros((N, T, cfg.imgSize, cfg.imgSize, 3),
+                               np.float32),
+            "id": "dummy",
+            "class": np.zeros(N, np.int32),
+            "infos": [],
+        }
+
     # ---------------------------------------------------------- getitem
 
     def __getitem__(self, index: int) -> Dict:

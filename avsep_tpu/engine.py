@@ -241,7 +241,8 @@ def forward(nets: Nets, params, batch_stats, batch, cfg: Config,
 
 def separate(nets: Nets, params, batch_stats, audio_mix: jnp.ndarray,
              frames: Optional[jnp.ndarray], cfg: Config,
-             rng: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
+             rng: Optional[jax.Array] = None,
+             share_blank: bool = False) -> Dict[str, jnp.ndarray]:
     """End-to-end batched separation: waveform mixture -> per-source wavs.
 
     The fused on-device pipeline of reference ``inference.py``
@@ -264,6 +265,11 @@ def separate(nets: Nets, params, batch_stats, audio_mix: jnp.ndarray,
                   "batch_stats": batch_stats["sound"]}
 
     option = None
+    if share_blank and frames is not None:
+        # 'share' audio-only mode: feed an all-black frame so the shared
+        # visual stream carries no information (reference inference.py
+        # share_forward :103-107)
+        frames = jnp.zeros_like(frames)
     if frames is None:
         v = None
     else:
