@@ -129,6 +129,39 @@ def vis_video(cfg: Config, nets: Nets, params, batch_stats, duet_info,
     print(f"Saved demo to {save_folder}")
 
 
+def synthesis_demo(cfg: Config, nets: Nets, params, batch_stats,
+                   info_a, info_b, save_folder: str) -> None:
+    """Synthetic 2-mix demo: mix two solo clips (sum / N, reference
+    get_sythesis_audio, inference.py:237-252), run AV separation with each
+    clip's center frame, write separated wavs + masks."""
+    wav_a, ct_a = get_demo_audio(info_a[0], info_a[2], float(info_a[3]),
+                                 info_a[4], cfg)
+    wav_b, ct_b = get_demo_audio(info_b[0], info_b[2], float(info_b[3]),
+                                 info_b[4], cfg, seed=9)
+    mix = (wav_a + wav_b) / 2.0
+
+    def center_frame(info, ct):
+        fdir, fps = info[1], float(info[3])
+        p = os.path.join(fdir, "{:06d}.jpg".format(int(round(ct * fps))))
+        return val_transform([Image.open(p).convert("RGB")], cfg.imgSize)[0]
+
+    frames = np.stack([center_frame(info_a, ct_a),
+                       center_frame(info_b, ct_b)])  # [2, H, W, 3]
+    out = separate(nets, params, batch_stats,
+                   jnp.asarray(mix[None]),
+                   jnp.asarray(frames[None, :, None]), cfg,
+                   rng=jax.random.PRNGKey(0))
+    out = jax.device_get(out)
+    makedirs(save_folder, remove=False)
+    write_wav(os.path.join(save_folder, "mix.wav"), mix, cfg.audRate)
+    for n, gt in enumerate((wav_a, wav_b)):
+        write_wav(os.path.join(save_folder, f"pred{n + 1}.wav"),
+                  out["wavs"][0, n], cfg.audRate)
+        write_wav(os.path.join(save_folder, f"gt{n + 1}.wav"), gt,
+                  cfg.audRate)
+    print(f"Saved synthetic-mix demo to {save_folder}")
+
+
 def main(cfg: Config):
     from avsep_tpu.train import init_state
     nets = build_nets(cfg)

@@ -38,13 +38,25 @@ def magnitude2heatmap(mag: np.ndarray, log: bool = True,
     return color[:, :, ::-1]  # BGR -> RGB
 
 
+def _have_ffmpeg() -> bool:
+    return shutil.which("ffmpeg") is not None
+
+
 class VideoWriter:
-    """ffmpeg rawvideo pipe writer (reference utils.py:107-168)."""
+    """ffmpeg rawvideo pipe writer (reference utils.py:107-168).
+
+    Degrades to a no-op with a warning when ffmpeg is not installed (video
+    encoding is an external runtime dependency, off the compute path).
+    """
 
     def __init__(self, filename: str, fps: float, shape):
         if not filename.endswith(".mp4"):
             raise RuntimeError("Video codec not supported.")
         self.shape = shape
+        self.pipe = None
+        if not _have_ffmpeg():
+            print(f"[media] ffmpeg not found; skipping video {filename}")
+            return
         cmd = ["ffmpeg", "-y", "-f", "rawvideo",
                "-s", f"{shape[1]}x{shape[0]}", "-pix_fmt", "bgr24",
                "-r", str(fps), "-i", "-", "-an", "-vcodec", "h264",
@@ -54,12 +66,16 @@ class VideoWriter:
 
     def add_frame(self, frame: np.ndarray):
         assert frame.shape[:2] == tuple(self.shape)
+        if self.pipe is None:
+            return
         try:
             self.pipe.stdin.write(frame.tobytes())
         except Exception:
             pass
 
     def release(self):
+        if self.pipe is None:
+            return
         try:
             self.pipe.stdin.close()
             self.pipe.wait(timeout=10)
@@ -90,6 +106,8 @@ def _run_with_timeout(proc, timeout_sec: float) -> None:
 def combine_video_audio(src_video: str, src_audio: str, dst_video: str,
                         verbose: bool = False) -> None:
     """Mux mp4 + wav -> mp4/aac (reference utils.py:186-202)."""
+    if not _have_ffmpeg():
+        return
     try:
         cmd = ["ffmpeg", "-y", "-loglevel", "quiet", "-i", src_video,
                "-i", src_audio, "-c:v", "copy", "-c:a", "aac",

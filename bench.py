@@ -19,6 +19,22 @@ import numpy as np
 
 B = 8            # batch of duet clips per device call
 ITERS = 20       # timed iterations
+
+
+def _has_cpu_backend():
+    import jax
+    try:
+        return len(jax.local_devices(backend="cpu")) > 0
+    except Exception:
+        return False
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
 CPU_BASELINE_CACHE = os.path.join(os.path.dirname(__file__),
                                   ".bench_cpu_baseline.json")
 
@@ -43,7 +59,11 @@ def tpu_throughput():
                  img_activation="relu", output_activation="sigmoid",
                  binary_mask=1, weighted_loss=1, log_freq=1, one_frame=True)
     nets = build_nets(cfg)
-    state = init_state(cfg, nets, jax.random.PRNGKey(0))
+    # init params with eval_shape + CPU-side PRNG so no TPU compile is spent
+    # on initialization (only the measured fn compiles on device)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]) \
+            if _has_cpu_backend() else _nullcontext():
+        state = init_state(cfg, nets, jax.random.PRNGKey(0))
 
     @jax.jit
     def fn(audio_mix, frames):
@@ -52,19 +72,31 @@ def tpu_throughput():
         return out["wavs"]
 
     rs = np.random.RandomState(0)
-    audio_mix = jnp.asarray(rs.randn(B, cfg.audLen).astype(np.float32) * 0.1)
-    frames = jnp.asarray(rs.rand(B, 2, 1, 224, 224, 3).astype(np.float32))
+    # distinct inputs per timed call so no runtime-level memoization of
+    # repeated identical executions can fake the numbers
+    n_sets = 4
+    inputs = [(jnp.asarray(rs.randn(B, cfg.audLen).astype(np.float32)
+                           * 0.1),
+               jnp.asarray(rs.rand(B, 2, 1, 224, 224, 3)
+                           .astype(np.float32)))
+              for _ in range(n_sets)]
 
     t0 = time.time()
-    fn(audio_mix, frames).block_until_ready()
+    fn(*inputs[0]).block_until_ready()
     compile_s = time.time() - t0
     print(f"# compile {compile_s:.1f}s on {jax.devices()[0]}",
           file=sys.stderr)
+    # warmup each input set once (avoid first-transfer costs in the loop)
+    for a, f in inputs[1:]:
+        fn(a, f).block_until_ready()
 
     t0 = time.time()
-    for _ in range(ITERS):
-        wavs = fn(audio_mix, frames)
-    wavs.block_until_ready()
+    outs = []
+    for it in range(ITERS):
+        a, f = inputs[it % n_sets]
+        outs.append(fn(a, f))
+    for o in outs:
+        o.block_until_ready()
     dt = time.time() - t0
     return B * ITERS / dt
 
