@@ -72,31 +72,33 @@ def tpu_throughput():
         return out["wavs"]
 
     rs = np.random.RandomState(0)
-    # distinct inputs per timed call so no runtime-level memoization of
-    # repeated identical executions can fake the numbers
-    n_sets = 4
-    inputs = [(jnp.asarray(rs.randn(B, cfg.audLen).astype(np.float32)
-                           * 0.1),
-               jnp.asarray(rs.rand(B, 2, 1, 224, 224, 3)
-                           .astype(np.float32)))
-              for _ in range(n_sets)]
+    # The axon runtime memoizes repeated executions of identical
+    # (program, buffers) pairs, so honest timing requires every timed call
+    # to be a FIRST execution: ITERS distinct input sets, pre-transferred
+    # to the device (blocked), then one timed pass executing each once.
+    dev = jax.devices()[0]
+    inputs = []
+    for _ in range(ITERS):
+        a = jax.device_put(rs.randn(B, cfg.audLen).astype(np.float32) * 0.1,
+                           dev)
+        f = jax.device_put(rs.rand(B, 2, 1, 224, 224, 3).astype(np.float32),
+                           dev)
+        inputs.append((a, f))
+    jax.block_until_ready(inputs)
 
+    warm_a = jax.device_put(rs.randn(B, cfg.audLen).astype(np.float32),
+                            dev)
+    warm_f = jax.device_put(rs.rand(B, 2, 1, 224, 224, 3)
+                            .astype(np.float32), dev)
     t0 = time.time()
-    fn(*inputs[0]).block_until_ready()
+    fn(warm_a, warm_f).block_until_ready()
     compile_s = time.time() - t0
     print(f"# compile {compile_s:.1f}s on {jax.devices()[0]}",
           file=sys.stderr)
-    # warmup each input set once (avoid first-transfer costs in the loop)
-    for a, f in inputs[1:]:
-        fn(a, f).block_until_ready()
 
     t0 = time.time()
-    outs = []
-    for it in range(ITERS):
-        a, f = inputs[it % n_sets]
-        outs.append(fn(a, f))
-    for o in outs:
-        o.block_until_ready()
+    outs = [fn(a, f) for a, f in inputs]
+    jax.block_until_ready(outs)
     dt = time.time() - t0
     return B * ITERS / dt
 
