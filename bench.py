@@ -90,16 +90,28 @@ def tpu_throughput():
                             dev)
     warm_f = jax.device_put(rs.rand(B, 2, 1, 224, 224, 3)
                             .astype(np.float32), dev)
+
+    @jax.jit
+    def chained(a, f, carry):
+        # data dependency on the previous output forces true sequential
+        # execution; one final host readback syncs the whole chain
+        # (block_until_ready alone does not synchronize on this backend).
+        wavs = fn(a + carry * 1e-12, f)
+        return jnp.sum(wavs[:, :, :8])
+
     t0 = time.time()
-    fn(warm_a, warm_f).block_until_ready()
+    float(chained(warm_a, warm_f, jnp.zeros(())))
     compile_s = time.time() - t0
     print(f"# compile {compile_s:.1f}s on {jax.devices()[0]}",
           file=sys.stderr)
 
     t0 = time.time()
-    outs = [fn(a, f) for a, f in inputs]
-    jax.block_until_ready(outs)
+    carry = jnp.zeros(())
+    for a, f in inputs:
+        carry = chained(a, f, carry)
+    total = float(carry)  # single readback syncs all ITERS executions
     dt = time.time() - t0
+    assert np.isfinite(total)
     return B * ITERS / dt
 
 
