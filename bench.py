@@ -72,44 +72,42 @@ def tpu_throughput():
         return out["wavs"]
 
     rs = np.random.RandomState(0)
-    # The axon runtime memoizes repeated executions of identical
-    # (program, buffers) pairs, so honest timing requires every timed call
-    # to be a FIRST execution: ITERS distinct input sets, pre-transferred
-    # to the device (blocked), then one timed pass executing each once.
+    # Timing methodology for the tunneled single-chip setup: per-dispatch
+    # RPC latency is large and the runtime memoizes repeated identical
+    # executions, so the only robust measurement is ONE device execution
+    # that processes many clips internally (lax.scan over chunks) with a
+    # single scalar readback.  clips/s = (chunks * B) / wall.
+    import jax.lax as lax
     dev = jax.devices()[0]
-    inputs = []
-    for _ in range(ITERS):
-        a = jax.device_put(rs.randn(B, cfg.audLen).astype(np.float32) * 0.1,
-                           dev)
-        f = jax.device_put(rs.rand(B, 2, 1, 224, 224, 3).astype(np.float32),
-                           dev)
-        inputs.append((a, f))
-    jax.block_until_ready(inputs)
 
-    warm_a = jax.device_put(rs.randn(B, cfg.audLen).astype(np.float32),
-                            dev)
-    warm_f = jax.device_put(rs.rand(B, 2, 1, 224, 224, 3)
-                            .astype(np.float32), dev)
+    def make_inputs(seed):
+        r = np.random.RandomState(seed)
+        a = jax.device_put(
+            r.randn(ITERS, B, cfg.audLen).astype(np.float32) * 0.1, dev)
+        f = jax.device_put(
+            r.rand(ITERS, B, 2, 1, 224, 224, 3).astype(np.float32), dev)
+        return a, f
 
     @jax.jit
-    def chained(a, f, carry):
-        # data dependency on the previous output forces true sequential
-        # execution; one final host readback syncs the whole chain
-        # (block_until_ready alone does not synchronize on this backend).
-        wavs = fn(a + carry * 1e-12, f)
-        return jnp.sum(wavs[:, :, :8])
+    def sweep(a_all, f_all):
+        def body(carry, af):
+            a, f = af
+            wavs = fn(a, f)
+            return carry + jnp.sum(wavs[:, :, ::4096]), None
+        total, _ = lax.scan(body, jnp.zeros(()), (a_all, f_all))
+        return total
 
+    a_all, f_all = make_inputs(1)
     t0 = time.time()
-    float(chained(warm_a, warm_f, jnp.zeros(())))
+    float(sweep(a_all, f_all))  # readback syncs the execution
     compile_s = time.time() - t0
-    print(f"# compile {compile_s:.1f}s on {jax.devices()[0]}",
+    print(f"# compile+first sweep {compile_s:.1f}s on {jax.devices()[0]}",
           file=sys.stderr)
 
+    # timed: a fresh input stack (never executed before)
+    a_all, f_all = make_inputs(2)
     t0 = time.time()
-    carry = jnp.zeros(())
-    for a, f in inputs:
-        carry = chained(a, f, carry)
-    total = float(carry)  # single readback syncs all ITERS executions
+    total = float(sweep(a_all, f_all))
     dt = time.time() - t0
     assert np.isfinite(total)
     return B * ITERS / dt
