@@ -78,36 +78,31 @@ def tpu_throughput():
     # that processes many clips internally (lax.scan over chunks) with a
     # single scalar readback.  clips/s = (chunks * B) / wall.
     import jax.lax as lax
-    dev = jax.devices()[0]
-
-    def make_inputs(seed):
-        r = np.random.RandomState(seed)
-        a = jax.device_put(
-            r.randn(ITERS, B, cfg.audLen).astype(np.float32) * 0.1, dev)
-        f = jax.device_put(
-            r.rand(ITERS, B, 2, 1, 224, 224, 3).astype(np.float32), dev)
-        return a, f
 
     @jax.jit
-    def sweep(a_all, f_all):
-        def body(carry, af):
-            a, f = af
+    def sweep(seed):
+        """ITERS chunks of B clips, inputs PRNG-generated ON DEVICE (no
+        host->device transfer can leak into the timing), full pipeline per
+        chunk, checksum reduced."""
+        def body(carry, key):
+            ka, kf = jax.random.split(key)
+            a = 0.1 * jax.random.normal(ka, (B, cfg.audLen))
+            f = jax.random.uniform(kf, (B, 2, 1, 224, 224, 3))
             wavs = fn(a, f)
             return carry + jnp.sum(wavs[:, :, ::4096]), None
-        total, _ = lax.scan(body, jnp.zeros(()), (a_all, f_all))
+        keys = jax.random.split(jax.random.PRNGKey(seed[0]), ITERS)
+        total, _ = lax.scan(body, jnp.zeros(()), keys)
         return total
 
-    a_all, f_all = make_inputs(1)
     t0 = time.time()
-    float(sweep(a_all, f_all))  # readback syncs the execution
+    float(sweep(jnp.asarray([1])))  # readback syncs the execution
     compile_s = time.time() - t0
     print(f"# compile+first sweep {compile_s:.1f}s on {jax.devices()[0]}",
           file=sys.stderr)
 
-    # timed: a fresh input stack (never executed before)
-    a_all, f_all = make_inputs(2)
+    # timed: a fresh seed (never executed before -> no memoization)
     t0 = time.time()
-    total = float(sweep(a_all, f_all))
+    total = float(sweep(jnp.asarray([2])))
     dt = time.time() - t0
     assert np.isfinite(total)
     return B * ITERS / dt
