@@ -237,6 +237,27 @@ class MusicMixDataset:
                 + "_".join(id_ls) + "_ct" + "_".join(cts))
         return name, np.asarray(cls_ids, np.int32)
 
+    def save_sample(self, inds, save_dir: str) -> None:
+        """Debug dumper: write mixture + per-source wavs (+ frame video when
+        ffmpeg is present) for dataset rows (reference dataset/music.py:
+        258-273, minus its hard-coded path)."""
+        import os as _os
+        from avsep_tpu.data.audio_io import write_wav
+        from avsep_tpu.data.video_transforms import denormalize
+        from avsep_tpu.utils.media import save_video
+        _os.makedirs(save_dir, exist_ok=True)
+        for ind in inds:
+            data = self[ind]
+            sid = data["id"]
+            write_wav(_os.path.join(save_dir, f"{sid}_mix.wav"),
+                      data["audio_mix"], self.cfg.audRate)
+            for i, audio in enumerate(data["audios"]):
+                write_wav(_os.path.join(save_dir, f"{sid}_aud_{i}.wav"),
+                          audio, self.cfg.audRate)
+                rgb = np.stack([denormalize(f) for f in data["frames"][i]])
+                save_video(_os.path.join(save_dir, f"{sid}_vid_{i}.mp4"),
+                           rgb, fps=max(len(rgb) / self.cfg.audSec, 1))
+
     def dummy_mix_data(self):
         """All-zero fallback sample (reference dataset/base.py:191-205)."""
         cfg = self.cfg

@@ -8,10 +8,14 @@ clips/s (global batch per step).
 Usage: python tools/train_throughput.py [batch_per_step] [n_steps]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def main(batch: int = 8, n_steps: int = 8):
