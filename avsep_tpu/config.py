@@ -119,6 +119,7 @@ class Config:
     profile_dir: str = ""            # jax.profiler trace output (off if "")
     profile_start: int = 10          # first profiled iteration
     profile_steps: int = 5           # number of profiled iterations
+    remat: bool = False              # rematerialize net forwards in backward
 
     # -------------------------------------------------------------- helpers
     @property

@@ -42,6 +42,7 @@ class Nets(NamedTuple):
 
 
 def build_nets(cfg: Config) -> Nets:
+    import flax.linen as nn
     import jax.numpy as _jnp
     dtype = {"float32": _jnp.float32, "bfloat16": _jnp.bfloat16}[cfg.dtype]
     sound = ModelBuilder.build_sound(
@@ -78,14 +79,23 @@ def _prepare(batch, cfg: Config) -> PreparedBatch:
                    binary_mask=bool(cfg.binary_mask))
 
 
+def _maybe_remat(fn, cfg: Config):
+    """Rematerialize a net forward during the backward pass when
+    cfg.remat — trades FLOPs for HBM at large per-chip batch.  All static
+    arguments are closed over; only arrays pass positionally."""
+    return jax.checkpoint(fn) if cfg.remat else fn
+
+
 def _frame_features(nets: Nets, variables, frames_n, cfg: Config,
                     train: bool):
     """One source's frames -> activated feature map/vector
     (reference main.py:120-122)."""
     kw = dict(pool=cfg.not_pool_vis, train=train)
     if train:
-        feats, updates = nets.frame.apply(
-            variables, frames_n, mutable=["batch_stats"], **kw)
+        def fwd(variables, frames_n):
+            return nets.frame.apply(variables, frames_n,
+                                    mutable=["batch_stats"], **kw)
+        feats, updates = _maybe_remat(fwd, cfg)(variables, frames_n)
     else:
         feats, updates = nets.frame.apply(variables, frames_n, **kw), None
     return activate(feats, cfg.img_activation), updates
@@ -93,13 +103,16 @@ def _frame_features(nets: Nets, variables, frames_n, cfg: Config,
 
 def _sound_forward(nets: Nets, variables, log_mag, v, cfg: Config,
                    train: bool, rng=None, option=None):
-    kw = dict(train=train, option=option, fusion_rng=rng)
+    kw = dict(train=train, option=option)
     x = log_mag[..., None]  # [B, F, T] -> NHWC
     if train:
-        (pred, meta), updates = nets.sound.apply(
-            variables, x, v, mutable=["batch_stats"], **kw)
+        def fwd(variables, x, v, rng):
+            return nets.sound.apply(variables, x, v, fusion_rng=rng,
+                                    mutable=["batch_stats"], **kw)
+        (pred, meta), updates = _maybe_remat(fwd, cfg)(variables, x, v, rng)
     else:
-        (pred, meta), updates = nets.sound.apply(variables, x, v, **kw), None
+        (pred, meta), updates = nets.sound.apply(
+            variables, x, v, fusion_rng=rng, **kw), None
     return pred, meta, updates
 
 
