@@ -15,7 +15,7 @@ import os
 from typing import Optional
 
 import jax
-import numpy as np
+
 import orbax.checkpoint as ocp
 
 from avsep_tpu.train import TrainState

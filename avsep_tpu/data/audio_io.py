@@ -10,7 +10,7 @@ crop/zero-pad/gain/clamp semantics of ``_load_audio``
 
 from __future__ import annotations
 
-import math
+
 from fractions import Fraction
 from typing import Optional, Tuple
 

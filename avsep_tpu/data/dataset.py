@@ -21,7 +21,7 @@ from __future__ import annotations
 import csv
 import os
 import random
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import numpy as np
 from PIL import Image

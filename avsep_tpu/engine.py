@@ -21,7 +21,7 @@ Batch layout (all batch-leading so dim 0 shards on the mesh 'data' axis):
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ host only aggregates meters and writes results.csv / media.
 from __future__ import annotations
 
 import csv
-import functools
+
 import os
 from typing import Dict, List
 

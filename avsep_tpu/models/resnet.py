@@ -19,7 +19,7 @@ models/__init__.py:65); otherwise He-normal init.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -20,7 +20,7 @@ Channels-last layout throughout: audio feature-weight maps are
 
 from __future__ import annotations
 
-from typing import Any, List, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional
 
 import flax.linen as nn
 import jax

@@ -19,7 +19,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from avsep_tpu.models.layers import normal_init
+
 
 
 class InnerProd(nn.Module):

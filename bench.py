@@ -17,8 +17,9 @@ import time
 
 import numpy as np
 
-B = 8            # batch of duet clips per device call
-ITERS = 20       # timed iterations
+B = 16           # batch of duet clips per chunk (peak of the B-sweep,
+                 # see BENCH_NOTES.md)
+ITERS = 16       # scanned chunks per timed execution
 
 
 def _has_cpu_backend():
