@@ -63,6 +63,22 @@ def init_sop_state(cfg: Config, nets: SopNets, rng) -> TrainState:
               "synthesizer": synth_vars["params"]}
     stats = {"sound": sound_vars["batch_stats"],
              "frame": frame_vars["batch_stats"]}
+
+    # reference .pth warm starts (SoP++/main.py:727-748 weights_* args)
+    from avsep_tpu.models.torch_import import (
+        load_torch_checkpoint, resnet_from_torch, synthesizer_from_torch,
+        unet_from_torch)
+    if cfg.weights_sound.endswith(".pth"):
+        p, s = unet_from_torch(load_torch_checkpoint(cfg.weights_sound),
+                               num_downs=_UNET_DOWNS[cfg.arch_sound])
+        params["sound"], stats["sound"] = p, s
+    if cfg.weights_frame.endswith(".pth"):
+        p, s = resnet_from_torch(load_torch_checkpoint(cfg.weights_frame))
+        params["frame"], stats["frame"] = p, s
+    if cfg.weights_synthesizer.endswith(".pth"):
+        params["synthesizer"] = synthesizer_from_torch(
+            load_torch_checkpoint(cfg.weights_synthesizer))
+
     opt = make_sop_optimizer(cfg, params)
     return TrainState(jnp.zeros((), jnp.int32), params, stats,
                       opt.init(params))

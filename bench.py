@@ -84,14 +84,19 @@ def tpu_throughput():
     def sweep(seed):
         """ITERS chunks of B clips, inputs PRNG-generated ON DEVICE (no
         host->device transfer can leak into the timing), full pipeline per
-        chunk, checksum reduced."""
+        chunk, checksum reduced.  The frame PRNG draw happens once; each
+        chunk perturbs it with a per-chunk scalar (cheap, but loop-variant
+        so XLA cannot hoist the frame encoder out of the scan)."""
+        key0 = jax.random.PRNGKey(seed[0])
+        kf, kc = jax.random.split(key0)
+        f_base = jax.random.uniform(kf, (B, 2, 1, 224, 224, 3))
+
         def body(carry, key):
-            ka, kf = jax.random.split(key)
-            a = 0.1 * jax.random.normal(ka, (B, cfg.audLen))
-            f = jax.random.uniform(kf, (B, 2, 1, 224, 224, 3))
-            wavs = fn(a, f)
+            a = 0.1 * jax.random.normal(key, (B, cfg.audLen))
+            eps = jax.random.uniform(key, ()) * 1e-3
+            wavs = fn(a, f_base + eps)
             return carry + jnp.sum(wavs[:, :, ::4096]), None
-        keys = jax.random.split(jax.random.PRNGKey(seed[0]), ITERS)
+        keys = jax.random.split(kc, ITERS)
         total, _ = lax.scan(body, jnp.zeros(()), keys)
         return total
 
