@@ -36,7 +36,7 @@ def _k_blocks(n_fft: int, hop: int) -> int:
 
 
 def _ola_kernel(frames_ref, denom_ref, out_ref, *, K: int, hop: int,
-                tile: int):
+                tile: int, clip: bool):
     """Grid step i owns output blocks [i*tile, (i+1)*tile).
 
     Frames come pre-padded with K-1 zero frames on each side, so every
@@ -51,14 +51,15 @@ def _ola_kernel(frames_ref, denom_ref, out_ref, *, K: int, hop: int,
                            pl.ds(m * hop, hop)]  # [B, tile, hop]
         acc = acc + chunk
     out = acc / denom_ref[pl.ds(b0, tile), :][None]
-    out_ref[:, :, :] = jnp.clip(out, -1.0, 1.0)
+    out_ref[:, :, :] = jnp.clip(out, -1.0, 1.0) if clip else out
 
 
 def overlap_add_normalize(frames: jnp.ndarray, hop: int, out_len: int,
-                          denom: np.ndarray, *,
+                          denom: np.ndarray, *, clip: bool = True,
                           interpret: bool = False) -> jnp.ndarray:
     """frames [B, T, n_fft] (windowed ifft frames) -> [B, out_len],
-    normalized by ``denom`` (summed-squared window) and clipped to [-1, 1].
+    normalized by ``denom`` (summed-squared window), optionally clipped
+    to [-1, 1].
     """
     B, T, n_fft = frames.shape
     K = _k_blocks(n_fft, hop)
@@ -73,7 +74,7 @@ def overlap_add_normalize(frames: jnp.ndarray, hop: int, out_len: int,
 
     grid = nb // tile
     out = pl.pallas_call(
-        functools.partial(_ola_kernel, K=K, hop=hop, tile=tile),
+        functools.partial(_ola_kernel, K=K, hop=hop, tile=tile, clip=clip),
         out_shape=jax.ShapeDtypeStruct((B, nb, hop), jnp.float32),
         grid=(grid,),
         in_specs=[

@@ -89,22 +89,33 @@ def overlap_add(frames: jnp.ndarray, hop: int, out_len: int) -> jnp.ndarray:
     return flat[..., :out_len]
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "hop"))
-def stft(audio: jnp.ndarray, n_fft: int = 1022, hop: int = 256) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop", "use_pallas"))
+def stft(audio: jnp.ndarray, n_fft: int = 1022, hop: int = 256,
+         use_pallas: bool = False) -> jnp.ndarray:
     """Batched STFT of ``audio [..., L]`` -> complex ``[..., F, T]``.
 
     F = n_fft // 2 + 1, T = 1 + L // hop.  Matches
     ``librosa.stft(y, n_fft=1022, hop_length=256)`` (center=True, periodic
-    Hann, reflect pad) to float32 tolerance.
+    Hann, reflect pad) to float32 tolerance.  ``use_pallas`` switches the
+    framing+window stage to the fused Pallas kernel
+    (ops/pallas_kernels.frame_window); numerics are identical.
     """
     L = audio.shape[-1]
     pad = n_fft // 2
     n_frames = 1 + L // hop
-    window = jnp.asarray(hann_periodic(n_fft))
     padded = _reflect_pad(audio.astype(jnp.float32), pad)
     # frame starts are multiples of hop only if we absorb the pad offset:
     # start_t = t*hop into `padded`, so reshape directly applies.
-    frames = frame_signal(padded, n_frames, n_fft, hop) * window
+    if use_pallas:
+        from avsep_tpu.ops.pallas_kernels import frame_window
+        batch_shape = padded.shape[:-1]
+        flat = padded.reshape((-1, padded.shape[-1]))
+        frames = frame_window(flat, n_frames, n_fft, hop,
+                              interpret=jax.default_backend() != "tpu")
+        frames = frames.reshape(batch_shape + frames.shape[1:])
+    else:
+        window = jnp.asarray(hann_periodic(n_fft))
+        frames = frame_signal(padded, n_frames, n_fft, hop) * window
     spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # [..., T, F]
     return jnp.swapaxes(spec, -1, -2)  # [..., F, T]
 
@@ -117,8 +128,9 @@ def stft_magphase(audio: jnp.ndarray, n_fft: int = 1022, hop: int = 256):
     return jnp.abs(spec), jnp.angle(spec)
 
 
-@functools.partial(jax.jit, static_argnames=("hop",))
-def istft(spec: jnp.ndarray, hop: int = 256) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("hop", "use_pallas"))
+def istft(spec: jnp.ndarray, hop: int = 256,
+          use_pallas: bool = False) -> jnp.ndarray:
     """Batched inverse STFT of complex ``spec [..., F, T]`` -> ``[..., L]``.
 
     Matches ``librosa.istft(spec, hop_length=256)`` (window='hann',
@@ -135,7 +147,6 @@ def istft(spec: jnp.ndarray, hop: int = 256) -> jnp.ndarray:
     frames = frames * jnp.asarray(window)  # [..., T, n_fft]
 
     full_len = n_fft + hop * (T - 1)
-    out = overlap_add(frames.astype(jnp.float32), hop, full_len)
 
     # summed squared window (static; computed with numpy at trace time)
     wss = np.zeros(full_len, np.float32)
@@ -145,7 +156,18 @@ def istft(spec: jnp.ndarray, hop: int = 256) -> jnp.ndarray:
     # librosa thresholds by np.finfo(float32).tiny before dividing
     tiny = np.finfo(np.float32).tiny
     denom = np.where(wss > tiny, wss, 1.0).astype(np.float32)
-    out = out / jnp.asarray(denom)
+
+    if use_pallas:
+        from avsep_tpu.ops.pallas_kernels import overlap_add_normalize
+        batch_shape = spec.shape[:-2]
+        flat = frames.reshape((-1, T, n_fft)).astype(jnp.float32)
+        out = overlap_add_normalize(flat, hop, full_len, denom, clip=False,
+                                    interpret=jax.default_backend()
+                                    != "tpu")
+        out = out.reshape(batch_shape + (full_len,))
+    else:
+        out = overlap_add(frames.astype(jnp.float32), hop, full_len)
+        out = out / jnp.asarray(denom)
 
     return out[..., pad: full_len - pad]
 

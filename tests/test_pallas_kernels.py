@@ -42,3 +42,17 @@ def test_overlap_add_normalize_matches_xla():
     got = overlap_add_normalize(jnp.asarray(frames), HOP, full_len, denom,
                                 interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_stft_istft_pallas_flag_matches_xla():
+    import jax.numpy as jnp
+    from avsep_tpu.ops.stft import stft, istft
+    rs = np.random.RandomState(2)
+    x = jnp.asarray(rs.randn(2, 64 * HOP - 1).astype(np.float32) * 0.2)
+    s_x = stft(x, N_FFT, HOP, use_pallas=False)
+    s_p = stft(x, N_FFT, HOP, use_pallas=True)
+    np.testing.assert_allclose(np.abs(np.asarray(s_x) - np.asarray(s_p)),
+                               0, atol=1e-5)
+    w_x = istft(s_x, HOP, use_pallas=False)
+    w_p = istft(s_x, HOP, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(w_x), np.asarray(w_p), atol=1e-5)
