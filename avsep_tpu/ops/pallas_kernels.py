@@ -5,14 +5,18 @@ path (reference equivalents: librosa iSTFT overlap-add, ``utils.py:101-104``;
 STFT framing+window, ``dataset/base.py:142-147``):
 
 * :func:`overlap_add_normalize` — iSTFT tail: windowed frames -> overlap-add
-  -> divide by the summed-squared window -> clip to [-1, 1], in ONE kernel.
-  Each grid step owns `BLOCKS_PER_TILE` hop-blocks of output and reads the
-  (at most K=ceil(n_fft/hop)) frame chunks that touch them from VMEM.
+  -> divide by the summed-squared window -> (optional) clip, in ONE kernel.
 * :func:`frame_window` — STFT head: hop-blocks -> K-block frames x Hann
   window in one kernel (the multiply fuses into the copy).
 
+Frames overlap across hop-block tiles, so the inputs stay in HBM/ANY and
+each grid step DMAs exactly the (tile + K - 1) rows it needs into VMEM
+scratch (the documented manual-copy pattern for windows BlockSpec tiling
+cannot express), computes, and writes an aligned VMEM output tile.
+
 Both have XLA fallbacks (the reshape formulation in ops/stft.py); numerics
-are identical.  ``interpret=True`` paths are used by the CPU test-suite.
+are identical.  ``interpret=True`` paths serve the CPU test-suite; the
+native path is exercised on TPU.
 """
 
 from __future__ import annotations
@@ -35,22 +39,26 @@ def _k_blocks(n_fft: int, hop: int) -> int:
 # ------------------------------------------------------------- overlap-add
 
 
-def _ola_kernel(frames_ref, denom_ref, out_ref, *, K: int, hop: int,
-                tile: int, clip: bool):
+def _ola_kernel(frames_ref, denom_ref, out_ref, scratch, sem, *, K: int,
+                hop: int, tile: int, clip: bool):
     """Grid step i owns output blocks [i*tile, (i+1)*tile).
 
-    Frames come pre-padded with K-1 zero frames on each side, so every
-    read ``frames[b + (K-1) - m]`` is in bounds and zero rows contribute
-    nothing — no masking needed.
+    Frames come pre-padded with K-1 zero frames on each side; the step DMAs
+    rows [i*tile, i*tile + tile + K - 1) from HBM into VMEM scratch, then
+    output block b = sum_m scratch[b - i*tile + (K-1) - m, m*hop:(m+1)*hop].
     """
     i = pl.program_id(0)
     b0 = i * tile
-    acc = jnp.zeros((frames_ref.shape[0], tile, hop), jnp.float32)
+    dma = pltpu.make_async_copy(
+        frames_ref.at[:, pl.ds(b0, tile + K - 1), :], scratch, sem)
+    dma.start()
+    dma.wait()
+    acc = jnp.zeros((scratch.shape[0], tile, hop), jnp.float32)
     for m in range(K):
-        chunk = frames_ref[:, pl.ds(b0 + (K - 1) - m, tile),
-                           pl.ds(m * hop, hop)]  # [B, tile, hop]
-        acc = acc + chunk
-    out = acc / denom_ref[pl.ds(b0, tile), :][None]
+        # local row for output block b (offset j in tile): j + (K-1) - m
+        acc = acc + scratch[:, pl.ds((K - 1) - m, tile),
+                            pl.ds(m * hop, hop)]
+    out = acc / denom_ref[:, :][None]
     out_ref[:, :, :] = jnp.clip(out, -1.0, 1.0) if clip else out
 
 
@@ -78,10 +86,16 @@ def overlap_add_normalize(frames: jnp.ndarray, hop: int, out_len: int,
         out_shape=jax.ShapeDtypeStruct((B, nb, hop), jnp.float32),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),  # frames stay in HBM
+            pl.BlockSpec((tile, hop), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, tile, hop), lambda i: (0, i, 0)),
+        out_specs=pl.BlockSpec((B, tile, hop), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((B, tile + K - 1, K * hop), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
         interpret=interpret,
     )(frames.astype(jnp.float32), jnp.asarray(denom_blocks))
     flat = out.reshape(B, nb * hop)
@@ -91,17 +105,20 @@ def overlap_add_normalize(frames: jnp.ndarray, hop: int, out_len: int,
 # ---------------------------------------------------------------- framing
 
 
-def _frame_kernel(blocks_ref, win_ref, out_ref, *, K: int, hop: int,
-                  tile: int):
-    """Grid step i emits frames [i*tile, (i+1)*tile): frame t =
-    concat(blocks[t .. t+K-1]) * window."""
+def _frame_kernel(blocks_ref, win_ref, out_ref, scratch, sem, *, K: int,
+                  hop: int, tile: int):
+    """Grid step i emits frames [i*tile, (i+1)*tile): DMA rows
+    [i*tile, i*tile + tile + K - 1) to VMEM, frame t = concat(K consecutive
+    rows) * window."""
     i = pl.program_id(0)
     t0 = i * tile
-    parts = []
-    for m in range(K):
-        parts.append(blocks_ref[:, pl.ds(t0 + m, tile), :])  # [B, tile, hop]
-    frame = jnp.concatenate(parts, axis=-1)                   # [B,tile,K*hop]
-    out_ref[:, :, :] = frame * win_ref[:]
+    dma = pltpu.make_async_copy(
+        blocks_ref.at[:, pl.ds(t0, tile + K - 1), :], scratch, sem)
+    dma.start()
+    dma.wait()
+    parts = [scratch[:, pl.ds(m, tile), :] for m in range(K)]
+    frame = jnp.concatenate(parts, axis=-1)  # [B, tile, K*hop]
+    out_ref[:, :, :] = frame * win_ref[:, :][None]
 
 
 def frame_window(padded: jnp.ndarray, n_frames: int, n_fft: int, hop: int,
@@ -115,8 +132,8 @@ def frame_window(padded: jnp.ndarray, n_frames: int, n_fft: int, hop: int,
         padded = jnp.pad(padded, ((0, 0), (0, extra)))
     blocks = padded[:, :need].reshape(B, -1, hop)
 
-    win = np.zeros((K * hop,), np.float32)
-    win[:n_fft] = hann_periodic(n_fft)
+    win = np.zeros((1, K * hop), np.float32)
+    win[0, :n_fft] = hann_periodic(n_fft)
 
     tile = 8 if n_frames % 8 == 0 else 1
     grid = n_frames // tile
@@ -125,8 +142,14 @@ def frame_window(padded: jnp.ndarray, n_frames: int, n_fft: int, hop: int,
         out_shape=jax.ShapeDtypeStruct((B, n_frames, K * hop), jnp.float32),
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((B, tile, K * hop), lambda i: (0, i, 0)),
+                  pl.BlockSpec((1, K * hop), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((B, tile, K * hop), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((B, tile + K - 1, hop), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
         interpret=interpret,
     )(blocks.astype(jnp.float32), jnp.asarray(win))
     return out[:, :, :n_fft]
