@@ -116,9 +116,12 @@ def _frame_kernel(blocks_ref, win_ref, out_ref, scratch, sem, *, K: int,
         blocks_ref.at[:, pl.ds(t0, tile + K - 1), :], scratch, sem)
     dma.start()
     dma.wait()
-    parts = [scratch[:, pl.ds(m, tile), :] for m in range(K)]
-    frame = jnp.concatenate(parts, axis=-1)  # [B, tile, K*hop]
-    out_ref[:, :, :] = frame * win_ref[:, :][None]
+    # write each hop-chunk into its lane slice directly (Mosaic cannot
+    # concatenate slices with mismatched sublane offsets)
+    for m in range(K):
+        out_ref[:, :, pl.ds(m * hop, hop)] = (
+            scratch[:, pl.ds(m, tile), :]
+            * win_ref[:, pl.ds(m * hop, hop)][None])
 
 
 def frame_window(padded: jnp.ndarray, n_frames: int, n_fft: int, hop: int,
