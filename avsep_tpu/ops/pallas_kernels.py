@@ -39,18 +39,24 @@ def _k_blocks(n_fft: int, hop: int) -> int:
 # ------------------------------------------------------------- overlap-add
 
 
+def _round8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
 def _ola_kernel(frames_ref, denom_ref, out_ref, scratch, sem, *, K: int,
                 hop: int, tile: int, clip: bool):
     """Grid step i owns output blocks [i*tile, (i+1)*tile).
 
-    Frames come pre-padded with K-1 zero frames on each side; the step DMAs
-    rows [i*tile, i*tile + tile + K - 1) from HBM into VMEM scratch, then
-    output block b = sum_m scratch[b - i*tile + (K-1) - m, m*hop:(m+1)*hop].
+    Frames come pre-padded with K-1 zero frames in front (plus alignment
+    tail); the step DMAs a sublane-aligned row window from HBM into VMEM
+    scratch, then output block b = sum_m scratch[b - i*tile + (K-1) - m,
+    m*hop:(m+1)*hop].
     """
     i = pl.program_id(0)
     b0 = i * tile
+    rows = scratch.shape[1]  # _round8(tile + K - 1)
     dma = pltpu.make_async_copy(
-        frames_ref.at[:, pl.ds(b0, tile + K - 1), :], scratch, sem)
+        frames_ref.at[:, pl.ds(b0, rows), :], scratch, sem)
     dma.start()
     dma.wait()
     acc = jnp.zeros((scratch.shape[0], tile, hop), jnp.float32)
@@ -72,9 +78,13 @@ def overlap_add_normalize(frames: jnp.ndarray, hop: int, out_len: int,
     B, T, n_fft = frames.shape
     K = _k_blocks(n_fft, hop)
     pad_tail = K * hop - n_fft
-    frames = jnp.pad(frames, ((0, 0), (K - 1, K - 1), (0, pad_tail)))
     nb = T + K - 1
     tile = 8 if nb % 8 == 0 else 1  # grid tile in hop-blocks
+    rows = _round8(tile + K - 1)
+    # front pad: K-1 zero frames; tail pad: enough that the last aligned
+    # row window [nb - tile, nb - tile + rows) stays in bounds
+    tail = (nb - tile + rows) - (T + K - 1)
+    frames = jnp.pad(frames, ((0, 0), (K - 1, max(tail, 0)), (0, pad_tail)))
 
     denom_blocks = np.ones((nb * hop,), np.float32)
     denom_blocks[:out_len] = denom[:out_len]
@@ -93,7 +103,7 @@ def overlap_add_normalize(frames: jnp.ndarray, hop: int, out_len: int,
         out_specs=pl.BlockSpec((B, tile, hop), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((B, tile + K - 1, K * hop), jnp.float32),
+            pltpu.VMEM((B, rows, K * hop), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -112,8 +122,9 @@ def _frame_kernel(blocks_ref, win_ref, out_ref, scratch, sem, *, K: int,
     rows) * window."""
     i = pl.program_id(0)
     t0 = i * tile
+    rows = scratch.shape[1]  # _round8(tile + K - 1)
     dma = pltpu.make_async_copy(
-        blocks_ref.at[:, pl.ds(t0, tile + K - 1), :], scratch, sem)
+        blocks_ref.at[:, pl.ds(t0, rows), :], scratch, sem)
     dma.start()
     dma.wait()
     # write each hop-chunk into its lane slice directly (Mosaic cannot
@@ -129,7 +140,10 @@ def frame_window(padded: jnp.ndarray, n_frames: int, n_fft: int, hop: int,
     """padded [B, L'] -> windowed frames [B, T, n_fft] in one kernel."""
     B = padded.shape[0]
     K = _k_blocks(n_fft, hop)
-    need = (n_frames + K) * hop
+    tile = 8 if n_frames % 8 == 0 else 1
+    rows = _round8(tile + K - 1)
+    # last grid step reads block rows [n_frames - tile, + rows)
+    need = (n_frames - tile + rows) * hop
     extra = need - padded.shape[-1]
     if extra > 0:
         padded = jnp.pad(padded, ((0, 0), (0, extra)))
@@ -138,7 +152,6 @@ def frame_window(padded: jnp.ndarray, n_frames: int, n_fft: int, hop: int,
     win = np.zeros((1, K * hop), np.float32)
     win[0, :n_fft] = hann_periodic(n_fft)
 
-    tile = 8 if n_frames % 8 == 0 else 1
     grid = n_frames // tile
     out = pl.pallas_call(
         functools.partial(_frame_kernel, K=K, hop=hop, tile=tile),
@@ -150,7 +163,7 @@ def frame_window(padded: jnp.ndarray, n_frames: int, n_fft: int, hop: int,
         out_specs=pl.BlockSpec((B, tile, K * hop), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((B, tile + K - 1, hop), jnp.float32),
+            pltpu.VMEM((B, rows, hop), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
