@@ -78,8 +78,8 @@ def overlap_add_normalize(frames: jnp.ndarray, hop: int, out_len: int,
     B, T, n_fft = frames.shape
     K = _k_blocks(n_fft, hop)
     pad_tail = K * hop - n_fft
-    nb = T + K - 1
-    tile = 8 if nb % 8 == 0 else 1  # grid tile in hop-blocks
+    nb = _round8(T + K - 1)  # output blocks, grid-aligned
+    tile = 8                 # grid tile in hop-blocks (8-sublane aligned)
     rows = _round8(tile + K - 1)
     # front pad: K-1 zero frames; tail pad: enough that the last aligned
     # row window [nb - tile, nb - tile + rows) stays in bounds
@@ -140,10 +140,11 @@ def frame_window(padded: jnp.ndarray, n_frames: int, n_fft: int, hop: int,
     """padded [B, L'] -> windowed frames [B, T, n_fft] in one kernel."""
     B = padded.shape[0]
     K = _k_blocks(n_fft, hop)
-    tile = 8 if n_frames % 8 == 0 else 1
+    tile = 8
+    n_pad = _round8(n_frames)  # grid-aligned frame count
     rows = _round8(tile + K - 1)
-    # last grid step reads block rows [n_frames - tile, + rows)
-    need = (n_frames - tile + rows) * hop
+    # last grid step reads block rows [n_pad - tile, + rows)
+    need = (n_pad - tile + rows) * hop
     extra = need - padded.shape[-1]
     if extra > 0:
         padded = jnp.pad(padded, ((0, 0), (0, extra)))
@@ -152,10 +153,10 @@ def frame_window(padded: jnp.ndarray, n_frames: int, n_fft: int, hop: int,
     win = np.zeros((1, K * hop), np.float32)
     win[0, :n_fft] = hann_periodic(n_fft)
 
-    grid = n_frames // tile
+    grid = n_pad // tile
     out = pl.pallas_call(
         functools.partial(_frame_kernel, K=K, hop=hop, tile=tile),
-        out_shape=jax.ShapeDtypeStruct((B, n_frames, K * hop), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, K * hop), jnp.float32),
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec((1, K * hop), lambda i: (0, 0),
@@ -168,4 +169,4 @@ def frame_window(padded: jnp.ndarray, n_frames: int, n_fft: int, hop: int,
         ],
         interpret=interpret,
     )(blocks.astype(jnp.float32), jnp.asarray(win))
-    return out[:, :, :n_fft]
+    return out[:, :n_frames, :n_fft]
