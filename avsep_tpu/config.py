@@ -120,6 +120,7 @@ class Config:
     profile_start: int = 10          # first profiled iteration
     profile_steps: int = 5           # number of profiled iterations
     remat: bool = False              # rematerialize net forwards in backward
+    use_pallas: bool = False         # fused Pallas STFT/iSTFT kernels
 
     # -------------------------------------------------------------- helpers
     @property

@@ -67,8 +67,9 @@ def batch_spectrograms(batch: Dict[str, jnp.ndarray], cfg: Config):
     if "mag_mix" in batch:
         return batch["mag_mix"], batch["mags"]
     mag_mix, _ = stft_magphase(batch["audio_mix"], cfg.stft_frame,
-                               cfg.stft_hop)
-    mags, _ = stft_magphase(batch["audios"], cfg.stft_frame, cfg.stft_hop)
+                               cfg.stft_hop, use_pallas=cfg.use_pallas)
+    mags, _ = stft_magphase(batch["audios"], cfg.stft_frame, cfg.stft_hop,
+                            use_pallas=cfg.use_pallas)
     return mag_mix, mags
 
 
@@ -270,7 +271,8 @@ def separate(nets: Nets, params, batch_stats, audio_mix: jnp.ndarray,
     'masks' [B, N, FO, T], 'att_maps' (AV only).
     """
     mag_mix, phase_mix = stft_magphase(audio_mix, cfg.stft_frame,
-                                       cfg.stft_hop)
+                                       cfg.stft_hop,
+                                       use_pallas=cfg.use_pallas)
     prep = prepare(mag_mix, mag_mix[:, None],  # mags unused here
                    log_freq=bool(cfg.log_freq), weighted_loss=False,
                    binary_mask=True)
@@ -310,7 +312,7 @@ def separate(nets: Nets, params, batch_stats, audio_mix: jnp.ndarray,
     pred_mag = mag_mix[:, None] * masks_linear
     wavs = istft(pred_mag.astype(jnp.complex64)
                  * jnp.exp(1j * phase_mix[:, None].astype(jnp.complex64)),
-                 hop=cfg.stft_hop)
+                 hop=cfg.stft_hop, use_pallas=cfg.use_pallas)
     wavs = jnp.clip(wavs, -1.0, 1.0)
     return {"wavs": wavs, "masks_linear": masks_linear, "masks": masks,
             "mag_mix": mag_mix, "phase_mix": phase_mix,

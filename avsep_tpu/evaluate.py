@@ -41,7 +41,8 @@ def make_eval_step(cfg: Config, nets: Nets, use_vis: bool):
         err, (_, outputs) = forward(nets, params, batch_stats, batch, cfg,
                                     rng, use_vis, train=False)
         mag_mix, phase_mix = stft_magphase(batch["audio_mix"],
-                                           cfg.stft_frame, cfg.stft_hop)
+                                           cfg.stft_frame, cfg.stft_hop,
+                                           use_pallas=cfg.use_pallas)
         pred = outputs["pred_masks"]                       # [B, N, FO, T]
         if cfg.log_freq:
             pred_lin = unwarp_mask(pred, HO=cfg.HS)        # [B, N, F, T]
@@ -52,7 +53,9 @@ def make_eval_step(cfg: Config, nets: Nets, use_vis: bool):
 
         spec = (mag_mix[:, None] * pred_lin).astype(jnp.complex64) \
             * jnp.exp(1j * phase_mix[:, None].astype(jnp.complex64))
-        preds_wav = jnp.clip(istft(spec, cfg.stft_hop), -1.0, 1.0)
+        preds_wav = jnp.clip(
+            istft(spec, cfg.stft_hop, use_pallas=cfg.use_pallas),
+            -1.0, 1.0)
         L = preds_wav.shape[-1]
 
         # all-zero predictions -> noise floor (reference main.py:248-249)

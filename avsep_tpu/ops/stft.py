@@ -120,11 +120,12 @@ def stft(audio: jnp.ndarray, n_fft: int = 1022, hop: int = 256,
     return jnp.swapaxes(spec, -1, -2)  # [..., F, T]
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "hop"))
-def stft_magphase(audio: jnp.ndarray, n_fft: int = 1022, hop: int = 256):
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop", "use_pallas"))
+def stft_magphase(audio: jnp.ndarray, n_fft: int = 1022, hop: int = 256,
+                  use_pallas: bool = False):
     """Magnitude and phase like the reference ``_stft``
     (reference ``dataset/base.py:142-147``)."""
-    spec = stft(audio, n_fft=n_fft, hop=hop)
+    spec = stft(audio, n_fft=n_fft, hop=hop, use_pallas=use_pallas)
     return jnp.abs(spec), jnp.angle(spec)
 
 
