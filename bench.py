@@ -58,7 +58,8 @@ def tpu_throughput():
     cfg = Config(arch_sound="unet7", num_channels=2, vis_channels=256,
                  fusion_type="hidsep", att_type="sig", not_pool_vis=False,
                  img_activation="relu", output_activation="sigmoid",
-                 binary_mask=1, weighted_loss=1, log_freq=1, one_frame=True)
+                 binary_mask=1, weighted_loss=1, log_freq=1, one_frame=True,
+                 use_pallas=jax.default_backend() == "tpu")
     nets = build_nets(cfg)
     # init params with eval_shape + CPU-side PRNG so no TPU compile is spent
     # on initialization (only the measured fn compiles on device)
