@@ -95,10 +95,15 @@ def vis_video(cfg: Config, nets: Nets, params, batch_stats, duet_info,
     # ONE batched device call: mixture audio replicated across the T frames
     audio_mix = jnp.asarray(np.broadcast_to(wav, (T, cfg.audLen)).copy())
     frames_arr = jnp.asarray(np.stack(frames)[:, None, None])  # [T,1,1,H,W,3]
-    out = separate(nets, params, batch_stats, audio_mix,
-                   frames_arr if use_vis else None, cfg,
-                   rng=jax.random.PRNGKey(0))
-    out = jax.device_get(out)
+
+    # jit the whole pipeline (eager complex ops are unsupported on some
+    # TPU runtimes; under jit XLA compiles them fine)
+    @jax.jit
+    def run(a, f):
+        return separate(nets, params, batch_stats, a,
+                        f if use_vis else None, cfg,
+                        rng=jax.random.PRNGKey(0))
+    out = jax.device_get(run(audio_mix, frames_arr))
 
     makedirs(save_folder, remove=False)
     mid = T // 2
@@ -147,11 +152,13 @@ def synthesis_demo(cfg: Config, nets: Nets, params, batch_stats,
 
     frames = np.stack([center_frame(info_a, ct_a),
                        center_frame(info_b, ct_b)])  # [2, H, W, 3]
-    out = separate(nets, params, batch_stats,
-                   jnp.asarray(mix[None]),
-                   jnp.asarray(frames[None, :, None]), cfg,
-                   rng=jax.random.PRNGKey(0))
-    out = jax.device_get(out)
+
+    @jax.jit
+    def run(a, f):
+        return separate(nets, params, batch_stats, a, f, cfg,
+                        rng=jax.random.PRNGKey(0))
+    out = jax.device_get(run(jnp.asarray(mix[None]),
+                             jnp.asarray(frames[None, :, None])))
     makedirs(save_folder, remove=False)
     write_wav(os.path.join(save_folder, "mix.wav"), mix, cfg.audRate)
     for n, gt in enumerate((wav_a, wav_b)):

@@ -78,10 +78,13 @@ def main():
         if all(f is not None for f in fs):
             frames = np.stack(fs)
 
-    out = jax.device_get(separate(
-        nets, state.params, state.batch_stats, jnp.asarray(mixes),
-        None if frames is None else jnp.asarray(frames), cfg,
-        rng=jax.random.PRNGKey(0)))
+    @jax.jit
+    def run(a, f):
+        return separate(nets, state.params, state.batch_stats, a, f, cfg,
+                        rng=jax.random.PRNGKey(0))
+    out = jax.device_get(run(
+        jnp.asarray(mixes),
+        None if frames is None else jnp.asarray(frames)))
 
     os.makedirs(args.out_dir, exist_ok=True)
     for i, p in enumerate(args.inputs):
