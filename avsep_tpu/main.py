@@ -13,20 +13,18 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from avsep_tpu.checkpoint import (
-    checkpoint, load_history, restore_checkpoint, save_checkpoint)
+    checkpoint, load_history, restore_checkpoint)
 from avsep_tpu.config import Config, parse_args
 from avsep_tpu.data.dataset import MusicMixDataset
 from avsep_tpu.data.loader import BatchLoader, ConcatDataset, iter_forever
 from avsep_tpu.engine import build_nets
 from avsep_tpu.evaluate import evaluate
-from avsep_tpu.parallel.mesh import make_mesh, shard_batch, shard_tree
+from avsep_tpu.parallel.mesh import make_mesh, shard_batch
 from avsep_tpu.train import (
     batch_scheduler, init_state, make_train_step)
 from avsep_tpu.utils.meters import AverageMeter, new_history
