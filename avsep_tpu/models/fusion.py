@@ -116,22 +116,13 @@ def _ao_forward(x: jnp.ndarray, rng: jax.Array, C: int = 2) -> FusionOut:
     return FusionOut(jnp.concatenate([guidance, x], axis=-1), None, None)
 
 
-def _duet_vcat(v: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
-    """Duet option: concatenate the two frame maps along a random spatial dim
-    and duplicate (reference fusion_net.py:83-90)."""
-    coin = jax.random.uniform(rng, ()) > 0.5
-    cat_h = jnp.concatenate([v[0], v[1]], axis=1)  # [B, 2H, W, Dc]
-    cat_w = jnp.concatenate([v[0], v[1]], axis=2)  # [B, H, 2W, Dc]
-    # pad to a common shape then select (static shapes under jit)
-    Hh, Wh = cat_h.shape[1], cat_h.shape[2]
-    Hw, Ww = cat_w.shape[1], cat_w.shape[2]
-    H, W = max(Hh, Hw), max(Wh, Ww)
-    # NOTE: for square inputs (H==W) both concats have identical shape and
-    # no padding occurs; non-square duet maps fall back to axis-1 concat.
-    if (Hh, Wh) == (Hw, Ww):
-        vc = jnp.where(coin, cat_h, cat_w)
-    else:
-        vc = cat_h
+def _duet_vcat(v: jnp.ndarray, axis_h: bool) -> jnp.ndarray:
+    """Duet option: concatenate the two frame maps along one spatial dim and
+    duplicate (reference fusion_net.py:83-90).  The reference draws the dim
+    with a host-side coin (``torch.rand(1)``); under jit the concat axis
+    changes the output SHAPE, so it must be static — callers draw the coin
+    on the host and pass ``option='duet_h' | 'duet_w'``."""
+    vc = jnp.concatenate([v[0], v[1]], axis=1 if axis_h else 2)
     return jnp.stack([vc, vc], axis=0)  # [C=2, B, H', W', Dc]
 
 
@@ -144,15 +135,17 @@ def coloc(x: jnp.ndarray, v: Optional[jnp.ndarray], *, att_type: str = "cos",
       x: bottleneck audio features [B, h, w, D].
       v: stacked visual maps [C, B, H, W, D/C] or None (audio-only batch).
       att_type: 'cos' | 'sig'.
-      rng: PRNG key; required for AO path and 'duet' option.
-      option: None | 'duet'.
+      rng: PRNG key; required for AO path.
+      option: None | 'duet' (alias 'duet_h') | 'duet_w' — concat axis for
+        the duet visual mixture (the reference's random host coin,
+        fusion_net.py:88, becomes this static choice).
       select: False -> CoLoc (attention-pooled guidance); True -> CoLoc_Sel
         (argmax-pixel guidance, reference fusion_net.py:163-169).
     """
     if v is None:
         return _ao_forward(x, rng)
-    if option == "duet":
-        v = _duet_vcat(v, rng)
+    if option in ("duet", "duet_h", "duet_w"):
+        v = _duet_vcat(v, axis_h=option != "duet_w")
 
     B, h, w, D = x.shape
     C = v.shape[0]

@@ -83,7 +83,7 @@ class AudioUnet(nn.Module):
             skips.append(h)
 
         # ---- fusion bottleneck (innermost InnerUnetBlock) ----
-        if fusion_rng is None and (v is None or option == "duet"):
+        if fusion_rng is None and v is None:
             fusion_rng = self.make_rng("fusion")
         fuse = get_fusion(self.fusion_type)
         out: FusionOut = fuse(h.astype(jnp.float32),

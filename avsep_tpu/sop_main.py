@@ -211,15 +211,13 @@ def _sop_evaluate(cfg, nets, state, loader, history, itera):
     from avsep_tpu.ops.warp import unwarp_mask
 
     for use_vis in (True, False):
-        fwd = make_sop_eval(cfg, nets, use_vis)
         meters = {k: AverageMeter() for k in
                   ("err", "sdr", "sir", "sar", "si_sdr")}
-        rng = jax.random.PRNGKey(cfg.seed)
-        for batch in loader:
-            rng, sub = jax.random.split(rng)
-            dev = {k: jnp.asarray(v) for k, v in batch.items()
-                   if isinstance(v, np.ndarray)}
-            err, outputs = fwd(state.params, state.batch_stats, dev, sub)
+
+        @jax.jit  # one program: forward -> unwarp -> iSTFT -> metrics
+        def eval_step(params, batch_stats, dev, sub, _use_vis=use_vis):
+            err, (_, outputs) = sop_forward(nets, params, batch_stats, dev,
+                                            cfg, sub, _use_vis, False, 3)
             mag_mix, phase_mix = stft_magphase(dev["audio_mix"],
                                                cfg.stft_frame, cfg.stft_hop)
             pred = unwarp_mask(outputs["pred_masks"], HO=cfg.HS)
@@ -228,8 +226,16 @@ def _sop_evaluate(cfg, nets, state, loader, history, itera):
             spec = (mag_mix[:, None] * pred).astype(jnp.complex64) * \
                 jnp.exp(1j * phase_mix[:, None].astype(jnp.complex64))
             wavs = jnp.clip(istft(spec, cfg.stft_hop), -1, 1)
-            m = jax.device_get(eval_metrics(
-                dev["audios"][..., :wavs.shape[-1]], wavs))
+            m = eval_metrics(dev["audios"][..., :wavs.shape[-1]], wavs)
+            return err, m
+
+        rng = jax.random.PRNGKey(cfg.seed)
+        for batch in loader:
+            rng, sub = jax.random.split(rng)
+            dev = {k: jnp.asarray(v) for k, v in batch.items()
+                   if isinstance(v, np.ndarray)}
+            err, m = eval_step(state.params, state.batch_stats, dev, sub)
+            m = jax.device_get(m)
             meters["err"].update(float(err))
             for k in ("sdr", "sir", "sar", "si_sdr"):
                 meters[k].update(float(np.mean(m[k])))
