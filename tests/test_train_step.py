@@ -172,3 +172,32 @@ def test_batch_scheduler_matches_reference_gating():
     use_vis = batch_scheduler(cfg)
     assert [use_vis(i) for i in range(8)] == [
         False, False, False, False, True, False, True, False]
+
+
+def test_mixvis_and_sel_train_steps():
+    """MixVis (forward_avmiximg, reference main.py:162-192) and CoLoc_Sel
+    fusion variants train end-to-end."""
+    for fusion in ("MixVis", "CoLoc_Sel"):
+        cfg = tiny_cfg(fusion_type=fusion)
+        nets = tiny_nets(cfg)
+        rng = jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(rng)
+        x = jnp.zeros((2, 256, 64, 1))
+        if fusion == "MixVis":
+            v = jnp.zeros((1, 2, 4, 8, 32))  # one mixture map, width 2W
+        else:
+            v = jnp.zeros((2, 2, 4, 4, 32))
+        sound_vars = nets.sound.init(k1, x, v, train=False)
+        frames = jnp.zeros((2, 1, 64, 64, 3))
+        frame_vars = nets.frame.init(k2, frames, pool=False, train=False)
+        params = {"sound": sound_vars["params"],
+                  "frame": frame_vars["params"]}
+        stats = {"sound": sound_vars["batch_stats"],
+                 "frame": frame_vars["batch_stats"]}
+        opt = make_optimizer(cfg, params)
+        state = TrainState(jnp.zeros((), jnp.int32), params, stats,
+                           opt.init(params))
+        step = make_train_step(cfg, nets, use_vis=True)
+        state, m = step(state, tiny_batch(cfg, B=4), jax.random.PRNGKey(1))
+        assert np.isfinite(float(m["err"])), fusion
+        assert np.isfinite(float(m["match_loss"])), fusion
