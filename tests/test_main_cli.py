@@ -43,3 +43,33 @@ def test_main_train_loop(manifest, tmp_path):  # noqa: F811
         h = json.load(f)
     assert h["train"]["iter"], "training history recorded"
     assert h["val_ao"]["si_sdr"], "eval ran"
+
+
+@pytest.mark.slow
+def test_main_warm_restart(manifest, tmp_path):  # noqa: F811
+    """train_MUSIC+.sh semantics: --load_ckpt resumes from the latest
+    checkpoint and history (reference main.py:676-679,783-787)."""
+    base = dict(
+        id="resume", mode="train", arch_sound="unet5", num_channels=2,
+        vis_channels=256, fusion_type="hidsep", att_type="sig",
+        not_pool_vis=False, img_activation="relu",
+        output_activation="sigmoid", loss="bce", binary_mask=1,
+        weighted_loss=1, log_freq=1, num_mix=2, audLen=AUDLEN,
+        imgSize=64, one_frame=True, margin=1.0, num_gpus=1,
+        batch_size_per_gpu=2, workers=2, train_repeat=1, val_repeat=1,
+        eval_iter=3, disp_iter=2, num_vis=0, iter_per_av=2,
+        start_av_first=True, num_fsteps=0, lr_steps=(100,),
+        ckpt=str(tmp_path / "ck"), av_list_train=(manifest,),
+        ao_list_train=(manifest,), list_val=(manifest,),
+        max_silent=0.95, rate_dc=1.0)
+    main(Config(num_iters=5, **base))
+    import json
+    run = str(tmp_path / "ck" / "resume")
+    h1 = json.load(open(os.path.join(run, "history_latest.json")))
+    assert h1["val_ao"]["iter"] == [3]
+
+    main(Config(num_iters=8, load_ckpt="1", **base))
+    h2 = json.load(open(os.path.join(run, "history_latest.json")))
+    # resumed past the first run's display ticks; both evals recorded
+    assert h2["val_ao"]["iter"][-1] == 6
+    assert h2["train"]["iter"][-1] > h1["train"]["iter"][-1]
