@@ -1,33 +1,21 @@
 #!/bin/bash
-# Full MUSIC val sweep: batched SDR/SIR/SAR/SI-SDR scoring on TPU
-# (mirrors reference scripts/eval_MUSIC.sh).
-OPTS=""
-OPTS+="--mode eval "
-OPTS+="--id Exp5_BaseSig "
-OPTS+="--list_val data/val.csv "
-OPTS+="--batch_size_per_gpu 16 "
-OPTS+="--num_vis 100 "
-OPTS+="--arch_sound unet7 "
-OPTS+="--arch_synthesizer linear "
-OPTS+="--arch_frame resnet18dilated "
-OPTS+="--img_pool maxpool "
-OPTS+="--num_channels 2 "
-OPTS+="--vis_channels 256 "
-OPTS+="--img_activation relu "
-OPTS+="--fusion_type hidsep "
-OPTS+="--not_pool_vis "
-OPTS+="--att_type sig "
-OPTS+="--binary_mask 1 "
-OPTS+="--loss bce "
-OPTS+="--weighted_loss 1 "
-OPTS+="--num_mix 2 "
-OPTS+="--log_freq 1 "
-OPTS+="--num_frames 3 "
-OPTS+="--stride_frames 8 "
-OPTS+="--frameRate 30 "
-OPTS+="--max_silent 0.83 "
-OPTS+="--audLen 65535 "
-OPTS+="--audRate 11025 "
-OPTS+="--one_frame "
+# Full MUSIC val sweep: batched on-device SDR/SIR/SAR/SI-SDR scoring.
+set -e
 
-python -u -m avsep_tpu.main $OPTS
+args=(
+  --mode eval
+  --id Exp5_BaseSig
+  --list_val data/val.csv
+  --batch_size_per_gpu 16 --num_vis 100
+  --arch_sound unet7 --arch_frame resnet18dilated --arch_synthesizer linear
+  --num_channels 2 --vis_channels 256
+  --fusion_type hidsep --att_type sig --not_pool_vis
+  --img_pool maxpool --img_activation relu
+  --loss bce --binary_mask 1 --weighted_loss 1
+  --num_mix 2 --log_freq 1
+  --num_frames 3 --stride_frames 8 --frameRate 30 --one_frame
+  --max_silent 0.83
+  --audLen 65535 --audRate 11025
+)
+
+python -u -m avsep_tpu.main "${args[@]}"

@@ -1,50 +1,28 @@
 #!/bin/bash
-# Warm-start continuation run (mirrors reference scripts/train_MUSIC+.sh):
-# resumes Exp5_BaseSig from the latest checkpoint with decayed LRs.
-OPTS=""
-OPTS+="--id Exp5_BaseSig "
-OPTS+="--load_ckpt 1 "
-OPTS+="--av_list_train data/train.csv "
-OPTS+="--ao_list_train data/train.csv "
-OPTS+="--list_val data/val.csv "
-OPTS+="--start_av_first "
-OPTS+="--num_fsteps 0 "
-OPTS+="--arch_sound unet7 "
-OPTS+="--arch_frame resnet18dilated "
-OPTS+="--img_pool maxpool "
-OPTS+="--num_channels 2 "
-OPTS+="--img_activation relu "
-OPTS+="--output_activation sigmoid "
-OPTS+="--vis_channels 256 "
-OPTS+="--fusion_type hidsep "
-OPTS+="--not_pool_vis "
-OPTS+="--att_type sig "
-OPTS+="--binary_mask 1 "
-OPTS+="--loss bce "
-OPTS+="--weighted_loss 1 "
-OPTS+="--num_mix 2 "
-OPTS+="--log_freq 1 "
-OPTS+="--num_frames 3 "
-OPTS+="--stride_frames 8 "
-OPTS+="--frameRate 30 "
-OPTS+="--audLen 65535 "
-OPTS+="--audRate 11025 "
-OPTS+="--num_gpus 2 "
-OPTS+="--workers 4 "
-OPTS+="--batch_size_per_gpu 16 "
-OPTS+="--lr_frame 1e-5 "
-OPTS+="--lr_sound 1e-4 "
-OPTS+="--lr_steps 110000 "
-OPTS+="--num_iters 120001 "
-OPTS+="--iter_per_av 2 "
-OPTS+="--eval_iter 1000 "
-OPTS+="--train_repeat 50 "
-OPTS+="--disp_iter 20 "
-OPTS+="--num_vis 100 "
-OPTS+="--rate_dc 1 "
-OPTS+="--max_silent 0.87 "
-OPTS+="--mask_thres 0.5 "
-OPTS+="--match_weight 0.1 "
-OPTS+="--one_frame "
+# Warm-start continuation: resume Exp5_BaseSig from the latest checkpoint
+# with decayed LRs (the TPU checkpoint restores optimizer momentum and
+# schedule position, unlike the reference).
+set -e
 
-python -u -m avsep_tpu.main $OPTS
+args=(
+  --id Exp5_BaseSig
+  --load_ckpt 1
+  --av_list_train data/train.csv
+  --ao_list_train data/train.csv
+  --list_val data/val.csv
+  --rate_dc 1 --max_silent 0.87 --train_repeat 50
+  --arch_sound unet7 --arch_frame resnet18dilated
+  --num_channels 2 --vis_channels 256
+  --fusion_type hidsep --att_type sig --not_pool_vis
+  --img_pool maxpool --img_activation relu --output_activation sigmoid
+  --loss bce --binary_mask 1 --weighted_loss 1 --mask_thres 0.5
+  --num_mix 2 --log_freq 1 --match_weight 0.1
+  --num_frames 3 --stride_frames 8 --frameRate 30 --one_frame
+  --audLen 65535 --audRate 11025
+  --num_gpus 2 --batch_size_per_gpu 16 --workers 4
+  --lr_sound 1e-4 --lr_frame 1e-5 --lr_steps 110000 --num_iters 120001
+  --start_av_first --num_fsteps 0 --iter_per_av 2
+  --eval_iter 1000 --disp_iter 20 --num_vis 100
+)
+
+python -u -m avsep_tpu.main "${args[@]}"

@@ -1,58 +1,35 @@
 #!/bin/bash
-# Canonical joint AV+AO training config (mirrors reference
-# scripts/train_MUSIC.sh hyperparameters; invokes the TPU-native trainer).
-OPTS=""
-OPTS+="--id Exp5_BaseSig "
-OPTS+="--av_list_train data/train.csv "
-OPTS+="--ao_list_train data/train.csv "
-OPTS+="--list_val data/val.csv "
-OPTS+="--start_av_first "
-OPTS+="--num_fsteps 0 "
-# Models
-OPTS+="--arch_sound unet7 "
-OPTS+="--arch_synthesizer linear "
-OPTS+="--arch_frame resnet18dilated "
-OPTS+="--img_pool maxpool "
-OPTS+="--num_channels 2 "
-OPTS+="--img_activation relu "
-OPTS+="--output_activation sigmoid "
-OPTS+="--vis_channels 256 "
-OPTS+="--fusion_type hidsep "
-OPTS+="--not_pool_vis "
-OPTS+="--att_type sig "
-# binary mask, BCE loss, weighted loss
-OPTS+="--binary_mask 1 "
-OPTS+="--loss bce "
-OPTS+="--weighted_loss 1 "
-OPTS+="--num_mix 2 "
-OPTS+="--log_freq 1 "
-# frames
-OPTS+="--num_frames 3 "
-OPTS+="--stride_frames 8 "
-OPTS+="--frameRate 30 "
-# audio
-OPTS+="--audLen 65535 "
-OPTS+="--audRate 11025 "
-# learning (num_gpus maps to data-parallel devices on the mesh)
-OPTS+="--num_gpus 2 "
-OPTS+="--workers 4 "
-OPTS+="--batch_size_per_gpu 16 "
-OPTS+="--lr_frame 1e-4 "
-OPTS+="--lr_sound 1e-3 "
-OPTS+="--lr_synthesizer 1e-3 "
-OPTS+="--lr_steps 50000 70000 90000 "
-OPTS+="--num_iters 95001 "
-OPTS+="--iter_per_av 2 "
-OPTS+="--eval_iter 1000 "
-OPTS+="--train_repeat 50 "
-# display / viz
-OPTS+="--disp_iter 20 "
-OPTS+="--num_vis 100 "
-OPTS+="--num_val 256 "
-OPTS+="--rate_dc 1 "
-OPTS+="--max_silent 0.87 "
-OPTS+="--mask_thres 0.5 "
-OPTS+="--match_weight 0.1 "
-OPTS+="--one_frame "
+# Canonical joint AV+AO training recipe on MUSIC (TPU-native trainer).
+# Hyperparameters mirror the reference's published train_MUSIC.sh values;
+# --num_gpus maps to data-parallel mesh width.
+set -e
 
-python -u -m avsep_tpu.main $OPTS
+args=(
+  --id Exp5_BaseSig
+  # data
+  --av_list_train data/train.csv
+  --ao_list_train data/train.csv
+  --list_val data/val.csv
+  --rate_dc 1 --max_silent 0.87 --train_repeat 50
+  # models: U-Net7 mask decoder + dilated ResNet18-256 + CoLoc(sig) fusion
+  --arch_sound unet7 --arch_frame resnet18dilated --arch_synthesizer linear
+  --num_channels 2 --vis_channels 256
+  --fusion_type hidsep --att_type sig --not_pool_vis
+  --img_pool maxpool --img_activation relu --output_activation sigmoid
+  # objective: weighted BCE on binary masks over the log-freq warp
+  --loss bce --binary_mask 1 --weighted_loss 1 --mask_thres 0.5
+  --num_mix 2 --log_freq 1 --match_weight 0.1
+  # media geometry
+  --num_frames 3 --stride_frames 8 --frameRate 30 --one_frame
+  --audLen 65535 --audRate 11025
+  # optimization: 95k iters, global batch 32, SGD decayed x0.1 3 times
+  --num_gpus 2 --batch_size_per_gpu 16 --workers 4
+  --lr_sound 1e-3 --lr_frame 1e-4 --lr_synthesizer 1e-3
+  --lr_steps 50000 70000 90000 --num_iters 95001
+  # schedule: AV batch every 2nd iter from the start
+  --start_av_first --num_fsteps 0 --iter_per_av 2
+  # cadence
+  --eval_iter 1000 --disp_iter 20 --num_vis 100 --num_val 256
+)
+
+python -u -m avsep_tpu.main "${args[@]}"
