@@ -121,6 +121,13 @@ class Config:
     profile_steps: int = 5           # number of profiled iterations
     remat: bool = False              # rematerialize net forwards in backward
     use_pallas: bool = False         # fused Pallas STFT/iSTFT kernels
+    # Fuse the AV symmetric double pass (reference main.py:129+141 runs the
+    # full U-Net twice on the same audio) into ONE doubled-batch forward —
+    # ~2x fewer launches and weight reads for the AV step.  EXACT in eval
+    # mode (running-average BN); in train mode the decoder BatchNorms see
+    # combined 2B statistics instead of per-pass B statistics, so training
+    # dynamics differ slightly — off by default for strict parity.
+    fused_av: bool = False
 
     # -------------------------------------------------------------- helpers
     @property
