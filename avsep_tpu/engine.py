@@ -142,7 +142,8 @@ def forward_ao(nets: Nets, params, batch_stats, batch, cfg: Config,
     outputs = {"pred_masks": jnp.moveaxis(ordered, -1, 1),  # [B, N, H, W]
                "gt_masks": prep.gt_masks, "mag_mix": prep.mag_mix,
                "mags": prep.mags, "weight": prep.weights,
-               "match_loss": jnp.zeros(())}
+               "match_loss": jnp.zeros(()),
+               "err_ps": losses, "match_ps": jnp.zeros_like(losses)}
     return err, (new_stats, outputs)
 
 
@@ -179,20 +180,25 @@ def forward_av(nets: Nets, params, batch_stats, batch, cfg: Config,
                                          cfg, train, rng=pass_rng)
         preds = [activate(pred[..., n], cfg.output_activation)
                  for n in range(N)]
-        err = crit.multi_source_loss(
-            jnp.stack(preds), jnp.moveaxis(gt, 1, 0), prep.weights,
-            kind=cfg.loss)
-        return preds, err, meta, upd
+        ps = jnp.stack(preds)
+        gts = jnp.moveaxis(gt, 1, 0)
+        err = crit.multi_source_loss(ps, gts, prep.weights, kind=cfg.loss)
+        err_ps = crit.multi_source_loss(ps, gts, prep.weights, kind=cfg.loss,
+                                        per_sample=True)
+        return preds, err, err_ps, meta, upd
 
     r1, r0 = (jax.random.split(rng) if rng is not None else (None, None))
-    _, err1, meta1, upd1 = one_pass(feats[::-1], prep.gt_masks[:, ::-1],
-                                    sound_vars, r1)
+    _, err1, ps1, meta1, upd1 = one_pass(feats[::-1], prep.gt_masks[:, ::-1],
+                                         sound_vars, r1)
     svars2 = sound_vars if upd1 is None else {
         "params": params["sound"], "batch_stats": upd1["batch_stats"]}
-    preds0, err0, meta0, upd0 = one_pass(feats, prep.gt_masks, svars2, r0)
+    preds0, err0, ps0, meta0, upd0 = one_pass(feats, prep.gt_masks, svars2,
+                                              r0)
 
     match_loss = meta1.match_loss + meta0.match_loss
+    match_ps = meta1.match_ps + meta0.match_ps
     err = (err1 + err0) / 2.0 + cfg.match_weight * match_loss
+    err_ps = (ps1 + ps0) / 2.0 + cfg.match_weight * match_ps
 
     new_stats = dict(batch_stats)
     if upd0 is not None:
@@ -201,7 +207,8 @@ def forward_av(nets: Nets, params, batch_stats, batch, cfg: Config,
     outputs = {"pred_masks": jnp.stack([p for p in preds0], axis=1),
                "gt_masks": prep.gt_masks, "mag_mix": prep.mag_mix,
                "mags": prep.mags, "weight": prep.weights,
-               "match_loss": match_loss, "att_maps": meta0.att_maps}
+               "match_loss": match_loss, "att_maps": meta0.att_maps,
+               "err_ps": err_ps, "match_ps": match_ps}
     return err, (new_stats, outputs)
 
 
@@ -233,9 +240,14 @@ def _forward_av_fused(nets: Nets, params, batch_stats, prep, feats, fstats,
                         for n in range(N)])              # [N, 2B, F, T]
     err_both = crit.multi_source_loss(preds2, jnp.moveaxis(gt2, 1, 0), w2,
                                       kind=cfg.loss)
+    err_both_ps = crit.multi_source_loss(preds2, jnp.moveaxis(gt2, 1, 0),
+                                         w2, kind=cfg.loss, per_sample=True)
     # mean over the doubled batch == (err1 + err0) / 2 exactly
     match_loss = meta.match_loss * 2.0                   # sum of two means
+    match_ps = meta.match_ps[:B] + meta.match_ps[B:]
     err = err_both + cfg.match_weight * match_loss
+    err_ps = ((err_both_ps[:B] + err_both_ps[B:]) / 2.0
+              + cfg.match_weight * match_ps)
 
     new_stats = dict(batch_stats)
     if upd is not None:
@@ -246,7 +258,8 @@ def _forward_av_fused(nets: Nets, params, batch_stats, prep, feats, fstats,
                "mag_mix": prep.mag_mix, "mags": prep.mags,
                "weight": prep.weights, "match_loss": match_loss,
                "att_maps": (None if meta.att_maps is None
-                            else meta.att_maps[B:])}
+                            else meta.att_maps[B:]),
+               "err_ps": err_ps, "match_ps": match_ps}
     return err, (new_stats, outputs)
 
 
@@ -275,6 +288,7 @@ def forward_avmiximg(nets: Nets, params, batch_stats, batch, cfg: Config,
     w = jnp.stack([prep.weights] * N, axis=-1)
     losses, perms = crit.pit_loss(pred_masks, gt, w, kind="bce")
     err = jnp.mean(losses) + meta.match_loss * cfg.match_weight
+    err_ps = losses + meta.match_ps * cfg.match_weight
     ordered = crit.reorder_sources(pred_masks, perms)
 
     new_stats = dict(batch_stats)
@@ -284,7 +298,8 @@ def forward_avmiximg(nets: Nets, params, batch_stats, batch, cfg: Config,
     outputs = {"pred_masks": jnp.moveaxis(ordered, -1, 1),
                "gt_masks": prep.gt_masks, "mag_mix": prep.mag_mix,
                "mags": prep.mags, "weight": prep.weights,
-               "match_loss": meta.match_loss, "maps": meta.att_maps}
+               "match_loss": meta.match_loss, "maps": meta.att_maps,
+               "err_ps": err_ps, "match_ps": meta.match_ps}
     return err, (new_stats, outputs)
 
 

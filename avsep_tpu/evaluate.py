@@ -67,6 +67,8 @@ def make_eval_step(cfg: Config, nets: Nets, use_vis: bool):
         metrics = eval_metrics(gts_wav, preds_wav)
         metrics["err"] = err
         metrics["match_loss"] = outputs["match_loss"]
+        metrics["err_ps"] = outputs["err_ps"]        # [B] per-sample loss
+        metrics["match_ps"] = outputs["match_ps"]    # [B] per-sample match
         return metrics, outputs, preds_wav
 
     return step
@@ -74,8 +76,16 @@ def make_eval_step(cfg: Config, nets: Nets, use_vis: bool):
 
 def evaluate(cfg: Config, nets: Nets, params, batch_stats, loader, history,
              itera: int, use_vis_eval: bool = True,
-             write_visuals: bool = True) -> None:
-    """Full val sweep (reference evaluate(), main.py:421-503)."""
+             write_visuals: bool = True, mesh=None) -> None:
+    """Full val sweep (reference evaluate(), main.py:421-503).
+
+    When ``mesh`` is given, every batch is sharded along dim 0 across the
+    mesh's 'data' axis (like the train path, main.py:49-52) so eval uses all
+    chips.  Ragged final batches are padded up to a mesh-divisible size and
+    the padded rows are excluded from every meter via the per-sample
+    ``err_ps``/``match_ps`` losses (mean of per-sample == batch scalar), so
+    meters are identical on 1 or N devices and with any val-set size.
+    """
     print("Evaluating at {} iterations...".format(itera))
     vis_root = os.path.join(cfg.ckpt, "visualization")
     makedirs(vis_root, remove=False)
@@ -89,31 +99,40 @@ def evaluate(cfg: Config, nets: Nets, params, batch_stats, loader, history,
     print("Start evaluation for",
           "audio visual" if use_vis_eval else "audio only")
     rng = jax.random.PRNGKey(cfg.seed)
-    full_bs = None
+    n_shard = mesh.devices.size if mesh is not None else 1
+    pad_to = None
     for i, batch in enumerate(loader):
         rng, sub = jax.random.split(rng)
         true_bs = len(batch["id"])
-        if full_bs is None:
-            full_bs = true_bs
+        if pad_to is None:
+            # one static jit batch shape for the whole sweep, divisible by
+            # the mesh width so dim 0 shards evenly
+            pad_to = -(-true_bs // n_shard) * n_shard
         dev_batch = {}
         for k, v in batch.items():
             if not isinstance(v, np.ndarray):
                 continue
-            if v.shape[0] < full_bs:  # pad ragged final batch (static jit
-                # shapes); padded rows are dropped from the meters below
-                reps = [v[-1:]] * (full_bs - v.shape[0])
-                v = np.concatenate([v] + reps, axis=0)
-            dev_batch[k] = jnp.asarray(v)
+            if v.shape[0] < pad_to:  # pad ragged batch (static jit shapes);
+                # padded rows are dropped from the meters below
+                reps = np.repeat(v[-1:], pad_to - v.shape[0], axis=0)
+                v = np.concatenate([v, reps], axis=0)
+            dev_batch[k] = v
+        if mesh is not None:
+            from avsep_tpu.parallel.mesh import shard_batch
+            dev_batch = shard_batch(dev_batch, mesh)
+        else:
+            dev_batch = {k: jnp.asarray(v) for k, v in dev_batch.items()}
         metrics, outputs, preds_wav = step(params, batch_stats, dev_batch,
                                            sub)
         metrics = jax.device_get(metrics)
         metrics = {k: (m[:true_bs] if np.ndim(m) else m)
                    for k, m in metrics.items()}
-        meters["loss"].update(float(metrics["err"]))
-        meters["match"].update(float(np.mean(metrics["match_loss"]))
-                               if use_vis_eval else 0.0)
+        meters["loss"].update(float(np.mean(metrics["err_ps"])),
+                              weight=true_bs)
+        meters["match"].update(float(np.mean(metrics["match_ps"]))
+                               if use_vis_eval else 0.0, weight=true_bs)
         for k in ("sdr", "sir", "sar", "si_sdr"):
-            meters[k].update(float(np.mean(metrics[k])))
+            meters[k].update(float(np.mean(metrics[k])), weight=true_bs)
         for n in range(len(metrics["sdr"])):
             csv_ls.append({"id": batch["id"][n],
                            "sdr": float(metrics["sdr"][n]),
@@ -125,7 +144,7 @@ def evaluate(cfg: Config, nets: Nets, params, batch_stats, loader, history,
                            jax.device_get(preds_wav), n_vis, use_vis_eval)
             vis_budget -= n_vis
 
-    print("[Eval Summary] iterations: {}, Loss: {:.4f}, Loss_match: {:.4f}"
+    print("[Eval Summary] iterations: {}, Loss: {:.4f}, Loss_match: {:.4f}, "
           "SDR_mixture: {:.4f}, SI-SDR: {:.4f}, SDR: {:.4f}, SIR: {:.4f}, "
           "SAR: {:.4f}".format(
               itera, meters["loss"].average(), meters["match"].average(),

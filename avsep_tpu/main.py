@@ -31,19 +31,23 @@ from avsep_tpu.utils.meters import AverageMeter, new_history
 from avsep_tpu.utils.media import makedirs
 
 
-def build_loaders(cfg: Config):
-    """AV / AO / val loaders (reference main.py:633-657)."""
+def build_loaders(cfg: Config, val_only: bool = False):
+    """AV / AO / val loaders (reference main.py:633-657).  ``val_only``
+    skips the train datasets so eval mode needs no train manifests."""
+    val_ds = ConcatDataset([MusicMixDataset(p, cfg, split="val")
+                            for p in cfg.list_val])
+    val_loader = BatchLoader(val_ds, cfg.batch_size, shuffle=False,
+                             num_workers=4, seed=cfg.seed)
+    if val_only:
+        return None, None, val_loader
     av_ds = ConcatDataset([MusicMixDataset(p, cfg, split="train")
                            for p in cfg.av_list_train])
     ao_ds = ConcatDataset([MusicMixDataset(p, cfg, split="train", seed=10)
                            for p in cfg.ao_list_train])
-    val_ds = ConcatDataset([MusicMixDataset(p, cfg, split="val")
-                            for p in cfg.list_val])
     mk = lambda ds, sh: BatchLoader(ds, cfg.batch_size, shuffle=sh,
                                     num_workers=int(cfg.workers),
                                     seed=cfg.seed, drop_last=True)
-    return mk(av_ds, True), mk(ao_ds, True), BatchLoader(
-        val_ds, cfg.batch_size, shuffle=False, num_workers=4, seed=cfg.seed)
+    return mk(av_ds, True), mk(ao_ds, True), val_loader
 
 
 def to_device(batch, mesh):
@@ -77,7 +81,8 @@ def main(cfg: Config):
             state = restore_checkpoint(cfg.ckpt, state, "latest")
             print("Recovered from history.")
 
-    av_loader, ao_loader, val_loader = build_loaders(cfg)
+    av_loader, ao_loader, val_loader = build_loaders(
+        cfg, val_only=cfg.mode == "eval")
 
     if cfg.mode == "eval":
         if not cfg.load_ckpt:
@@ -87,9 +92,9 @@ def main(cfg: Config):
                 print("WARNING: no best checkpoint found; evaluating "
                       "current params")
         evaluate(cfg, nets, state.params, state.batch_stats, val_loader,
-                 history, 0, True)
+                 history, 0, True, mesh=mesh)
         evaluate(cfg, nets, state.params, state.batch_stats, val_loader,
-                 history, 0, False)
+                 history, 0, False, mesh=mesh)
         print("Evaluation Done!")
         return
 
@@ -158,9 +163,9 @@ def main(cfg: Config):
 
         if i % cfg.eval_iter == 0 and i > 1:
             evaluate(cfg, nets, state.params, state.batch_stats, val_loader,
-                     history, i, True)
+                     history, i, True, mesh=mesh)
             evaluate(cfg, nets, state.params, state.batch_stats, val_loader,
-                     history, i, False)
+                     history, i, False, mesh=mesh)
             checkpoint(cfg.ckpt, state, history, best_holder)
         # LR decay happens inside the optax schedule at cfg.lr_steps.
 

@@ -67,9 +67,20 @@ def weighted_loss(pred: jnp.ndarray, target: jnp.ndarray,
 
 def multi_source_loss(preds: jnp.ndarray, targets: jnp.ndarray,
                       weight: jnp.ndarray | None = None,
-                      kind: str = "bce") -> jnp.ndarray:
+                      kind: str = "bce",
+                      per_sample: bool = False) -> jnp.ndarray:
     """Average of per-source scalar losses (reference BaseLoss.forward over
-    a list).  ``preds/targets [N, ...]``; ``weight`` broadcast to each."""
+    a list).  ``preds/targets [N, B, ...]``; ``weight`` broadcast to each.
+
+    With ``per_sample=True`` returns the [B] per-sample losses whose mean is
+    the scalar loss exactly (all samples have equal element counts) — used
+    by eval to exclude padded rows from the meters.
+    """
+    if per_sample:
+        e = _ELEMENTWISE[kind](preds, targets)
+        if weight is not None:
+            e = e * weight  # weight [B, ...] broadcasts over the source axis
+        return jnp.mean(e, axis=(0,) + tuple(range(2, e.ndim)))  # [B]
     per_source = jax.vmap(
         lambda p, t: weighted_loss(p, t, weight, kind))(preds, targets)
     return jnp.mean(per_source)

@@ -38,6 +38,8 @@ class FusionOut(NamedTuple):
     features: jnp.ndarray              # [B, h, w, 2D] fused bottleneck
     match_loss: Optional[jnp.ndarray]  # scalar or None (AO path)
     att_maps: Optional[jnp.ndarray]    # [B, C, H, W] or None
+    match_ps: Optional[jnp.ndarray] = None  # per-sample match loss [B]
+    # (mean(match_ps) == match_loss; lets eval exclude padded rows)
 
 
 def _attend(x_pc: jnp.ndarray, v: jnp.ndarray, att_type: str) -> jnp.ndarray:
@@ -80,9 +82,9 @@ def _perm_stack(blocks: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([blocks, blocks[:, ::-1]], axis=1)
 
 
-def _score_and_sort(maps: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray,
-                                                jnp.ndarray]:
-    """maps [B, P, C, H, W] -> (match_loss, best_perm_idx [B], att [B,C,H,W]).
+def _score_and_sort(maps: jnp.ndarray):
+    """maps [B, P, C, H, W] -> (match_loss, match_ps [B], best_perm_idx [B],
+    att [B,C,H,W]).
 
     score(p) = sum_c max_{hw} maps[p, c]; best = argmax; match loss =
     mean(-best_score + sum(rest)) (reference fusion_net.py:54-65).
@@ -91,10 +93,11 @@ def _score_and_sort(maps: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray,
     best = jnp.argmax(scores, axis=1)                       # [B]
     best_score = jnp.take_along_axis(scores, best[:, None], 1)[:, 0]
     rest = jnp.sum(scores, axis=1) - best_score
-    match_loss = jnp.mean(-best_score + rest)
+    match_ps = -best_score + rest                            # [B]
+    match_loss = jnp.mean(match_ps)
     att = jnp.take_along_axis(
         maps, best[:, None, None, None, None], axis=1)[:, 0]  # [B,C,H,W]
-    return match_loss, best, att
+    return match_loss, match_ps, best, att
 
 
 def _random_slot_swap(blocks: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
@@ -153,7 +156,7 @@ def coloc(x: jnp.ndarray, v: Optional[jnp.ndarray], *, att_type: str = "cos",
     x_t = _perm_stack(blocks)                       # [B, P, C, Dc]
     v_cat = jnp.moveaxis(v, 0, 1)                   # [B, C, H, W, Dc]
     maps = _attend(x_t, v_cat[:, None], att_type)   # [B, P, C, H, W]
-    match_loss, _, att = _score_and_sort(maps)
+    match_loss, match_ps, _, att = _score_and_sort(maps)
 
     if select:
         # argmax-pixel selection (reference fusion_net.py:163-169)
@@ -168,7 +171,8 @@ def coloc(x: jnp.ndarray, v: Optional[jnp.ndarray], *, att_type: str = "cos",
         feat = jnp.max(v_cat * att[..., None], axis=(2, 3))      # [B, C, Dc]
 
     guidance = _broadcast_guidance(feat, h, w)
-    return FusionOut(jnp.concatenate([guidance, x], axis=-1), match_loss, att)
+    return FusionOut(jnp.concatenate([guidance, x], axis=-1), match_loss, att,
+                     match_ps)
 
 
 def mixvis(x: jnp.ndarray, v: Optional[jnp.ndarray], *,
@@ -196,15 +200,15 @@ def mixvis(x: jnp.ndarray, v: Optional[jnp.ndarray], *,
     # match loss: -sum_c max(map_c) + area regularizer + cross-source cosine
     # penalty (reference fusion_net.py:267-275)
     scores = -jnp.max(maps, axis=(2, 3))            # [B, C]
-    match_loss = jnp.mean(jnp.sum(scores, axis=-1))
-    match_loss = match_loss + jnp.mean(jnp.sum(flat, axis=(1, 2))) / map_size
-    penalty = jnp.mean(cosine_similarity(selected[:, 0], selected[:, 1],
-                                         axis=1))
-    match_loss = match_loss + penalty
+    match_ps = (jnp.sum(scores, axis=-1)
+                + jnp.sum(flat, axis=(1, 2)) / map_size
+                + cosine_similarity(selected[:, 0], selected[:, 1],
+                                    axis=1))        # [B]
+    match_loss = jnp.mean(match_ps)
 
     guidance = _broadcast_guidance(selected, h, w)
     return FusionOut(jnp.concatenate([guidance, x], axis=-1), match_loss,
-                     maps)
+                     maps, match_ps)
 
 
 def get_fusion(fusion_type: str):

@@ -99,3 +99,43 @@ def test_separate_pipeline(small_setup):
     out_duet = separate(nets, state.params, state.batch_stats, mix,
                         frames[:, :1], cfg)
     assert out_duet["wavs"].shape == (2, 2, L)
+
+
+def test_evaluate_mesh_matches_single_device(small_setup, manifest):  # noqa: F811
+    """Eval sharded over the 8-device mesh gives the same meters as
+    single-device, including with a ragged (padded) final batch — padded
+    rows are excluded via the per-sample losses (VERDICT r1 item 2)."""
+    from avsep_tpu.data.dataset import MusicMixDataset
+    from avsep_tpu.parallel.mesh import make_mesh
+    cfg, nets, state = small_setup
+    ds = MusicMixDataset(manifest, cfg, split="val")
+    bs = max(2, len(ds) - 1)  # force a ragged final batch
+    h1, h8 = new_history(), new_history()
+    loader1 = BatchLoader(ds, bs, shuffle=False, num_workers=2)
+    evaluate(cfg, nets, state.params, state.batch_stats, loader1, h1, 0,
+             use_vis_eval=True, write_visuals=False)
+    loader8 = BatchLoader(ds, bs, shuffle=False, num_workers=2)
+    evaluate(cfg, nets, state.params, state.batch_stats, loader8, h8, 0,
+             use_vis_eval=True, write_visuals=False, mesh=make_mesh(8))
+    for k in ("err", "sdr", "sir", "sar", "si_sdr"):
+        np.testing.assert_allclose(h1["val_av"][k][0], h8["val_av"][k][0],
+                                   rtol=2e-4, atol=1e-5, err_msg=k)
+
+
+def test_evaluate_meters_independent_of_batch_size(small_setup, manifest):  # noqa: F811
+    """Padding-clean meters: the AV eval summary must not depend on how the
+    val set is batched (the padded duplicate rows used to bias err/match)."""
+    from avsep_tpu.data.dataset import MusicMixDataset
+    cfg, nets, state = small_setup
+    ds = MusicMixDataset(manifest, cfg, split="val")
+    hists = []
+    for bs in (len(ds), max(2, len(ds) - 1)):
+        h = new_history()
+        loader = BatchLoader(ds, bs, shuffle=False, num_workers=2)
+        evaluate(cfg, nets, state.params, state.batch_stats, loader, h, 0,
+                 use_vis_eval=True, write_visuals=False)
+        hists.append(h)
+    for k in ("err", "sdr", "sir", "sar", "si_sdr"):
+        np.testing.assert_allclose(hists[0]["val_av"][k][0],
+                                   hists[1]["val_av"][k][0],
+                                   rtol=2e-4, atol=1e-5, err_msg=k)

@@ -224,3 +224,76 @@ def test_fused_av_matches_double_pass_in_eval(setup):
     err_t, _ = forward(nets, state.params, state.batch_stats, batch, cfg_f,
                        jax.random.PRNGKey(0), use_vis=True, train=True)
     assert np.isfinite(float(err_t))
+
+
+def test_per_sample_losses_mean_to_scalar(setup):
+    """outputs['err_ps']/['match_ps'] are per-sample losses whose mean is
+    exactly the scalar loss — the contract evaluate() relies on to exclude
+    padded rows from the meters."""
+    cfg, nets, state = setup
+    batch = tiny_batch(cfg, B=4)
+    for use_vis in (True, False):
+        err, (_, out) = forward(
+            nets, state.params, state.batch_stats, batch, cfg,
+            jax.random.PRNGKey(1), use_vis=use_vis, train=False)
+        assert out["err_ps"].shape == (4,)
+        np.testing.assert_allclose(float(err),
+                                   float(jnp.mean(out["err_ps"])),
+                                   rtol=1e-5)
+        if use_vis:
+            np.testing.assert_allclose(float(out["match_loss"]),
+                                       float(jnp.mean(out["match_ps"])),
+                                       rtol=1e-5)
+    # fused_av path keeps the same contract
+    cfg_f = cfg.replace(fused_av=True)
+    err, (_, out) = forward(nets, state.params, state.batch_stats, batch,
+                            cfg_f, None, use_vis=True, train=False)
+    np.testing.assert_allclose(float(err), float(jnp.mean(out["err_ps"])),
+                               rtol=1e-5)
+
+
+def test_mixvis_per_sample_loss_contract():
+    """MixVis path: err_ps/match_ps mean to the scalars too."""
+    cfg = tiny_cfg(fusion_type="MixVis")
+    nets = tiny_nets(cfg)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    sound_vars = nets.sound.init(k1, jnp.zeros((2, 256, 64, 1)),
+                                 jnp.zeros((1, 2, 4, 8, 32)), train=False)
+    frame_vars = nets.frame.init(k2, jnp.zeros((2, 1, 64, 64, 3)),
+                                 pool=False, train=False)
+    params = {"sound": sound_vars["params"], "frame": frame_vars["params"]}
+    stats = {"sound": sound_vars["batch_stats"],
+             "frame": frame_vars["batch_stats"]}
+    err, (_, out) = forward(nets, params, stats, tiny_batch(cfg, B=4), cfg,
+                            jax.random.PRNGKey(1), use_vis=True, train=False)
+    np.testing.assert_allclose(float(err), float(jnp.mean(out["err_ps"])),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(out["match_loss"]),
+                               float(jnp.mean(out["match_ps"])), rtol=1e-5)
+
+
+def test_train_step_1_vs_8_device_equivalence(setup):
+    """Same global batch, same rng: one AV train step on a 1-device mesh and
+    an 8-device mesh must produce the same updated params/metrics (catches
+    sharding regressions; SURVEY.md §4 mesh-test mandate)."""
+    cfg, nets, state0 = setup
+    batch = tiny_batch(cfg, B=8, seed=5)
+    rng = jax.random.PRNGKey(11)
+    step = make_train_step(cfg, nets, use_vis=True)
+
+    mesh1, mesh8 = make_mesh(1), make_mesh(8)
+    s1, m1 = step(shard_tree(clone(state0), mesh1),
+                  shard_batch(dict(batch), mesh1), rng)
+    s8, m8 = step(shard_tree(clone(state0), mesh8),
+                  shard_batch(dict(batch), mesh8), rng)
+
+    np.testing.assert_allclose(float(m1["err"]), float(m8["err"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.batch_stats),
+                    jax.tree_util.tree_leaves(s8.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
