@@ -113,7 +113,12 @@ def init_state(cfg: Config, nets: Nets, rng: jax.Array,
     if cfg.weights_frame and cfg.weights_frame.endswith(".pth"):
         from avsep_tpu.models.torch_import import load_torch_checkpoint
         p, s = resnet_from_torch(load_torch_checkpoint(cfg.weights_frame))
-        params["frame"], stats["frame"] = p, s
+        # torchvision ImageNet dicts carry no conv fc head (theirs is the 2D
+        # 1000-class linear, skipped by the converter) — keep the freshly
+        # initialized fc, like the reference which only pretrains the trunk
+        # (models/__init__.py:65-78)
+        params["frame"] = {**params["frame"], **p}
+        stats["frame"] = {**stats["frame"], **s}
 
     opt = make_optimizer(cfg, params)
     opt_state = opt.init(params)

@@ -4,6 +4,16 @@
 # --num_gpus maps to data-parallel mesh width.
 set -e
 
+# ImageNet bootstrap for the frame encoder (the reference always starts from
+# torchvision resnet18(pretrained=True), models/__init__.py:61-78).  Fetch
+# once; on machines without egress: tools/fetch_resnet18.py --src <local.pth>
+PRETRAINED=data/resnet18-imagenet.pth
+if [ ! -f "$PRETRAINED" ]; then
+  python tools/fetch_resnet18.py --out "$PRETRAINED" \
+    || echo "WARNING: no ImageNet weights — frame encoder will be randomly" \
+            "initialized (reference parity requires the pretrained start)"
+fi
+
 args=(
   --id Exp5_BaseSig
   # data
@@ -31,5 +41,9 @@ args=(
   # cadence
   --eval_iter 1000 --disp_iter 20 --num_vis 100 --num_val 256
 )
+
+if [ -f "$PRETRAINED" ]; then
+  args+=(--weights_frame "$PRETRAINED")
+fi
 
 python -u -m avsep_tpu.main "${args[@]}"

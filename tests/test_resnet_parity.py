@@ -162,3 +162,83 @@ def test_frame_encoder_multiframe_and_pools(torch_resnet):
     got_vec = enc.apply(variables, xj, pool=True, train=False)
     np.testing.assert_allclose(np.asarray(got_vec), ref_max, rtol=1e-3,
                                atol=1e-3)
+
+
+def test_fetch_tool_and_weights_frame_bootstrap(torch_resnet, tmp_path):
+    """ImageNet bootstrap path end-to-end (reference models/__init__.py:61-78
+    always starts pretrained): a torchvision-format .pth goes through
+    tools/fetch_resnet18.py --src validation, then init_state(--weights_frame)
+    imports it and the resulting trunk features match the torch golden."""
+    import subprocess
+    import sys as _sys
+    import os as _os
+
+    src = tmp_path / "resnet18-golden.pth"
+    # torchvision dicts carry an fc we don't use; include one to prove the
+    # validator/converter tolerate it (fc.weight is 2D -> skipped)
+    sd = dict(torch_resnet.state_dict())
+    sd["fc.weight"] = torch.zeros(1000, 512)
+    sd["fc.bias"] = torch.zeros(1000)
+    torch.save(sd, src)
+
+    out = tmp_path / "resnet18-imagenet.pth"
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    r = subprocess.run(
+        [_sys.executable, _os.path.join(repo, "tools", "fetch_resnet18.py"),
+         "--src", str(src), "--out", str(out)],
+        capture_output=True, text=True, cwd=repo)
+    assert r.returncode == 0, r.stderr
+    assert "convert cleanly" in r.stdout
+    assert out.exists()
+
+    # the train-start import consumes it via --weights_frame
+    from avsep_tpu.config import Config
+    from avsep_tpu.engine import build_nets
+    from avsep_tpu.train import init_state
+    import jax
+    cfg = Config(arch_sound="unet7", num_channels=2, vis_channels=256,
+                 fusion_type="hidsep", att_type="sig", one_frame=True,
+                 imgSize=64, weights_frame=str(out))
+    nets = build_nets(cfg)
+    state = init_state(cfg, nets, jax.random.PRNGKey(0))
+
+    # the import keeps the fresh conv-fc head (torchvision has none): the
+    # full encoder must still forward
+    feats = nets.frame.apply(
+        {"params": state.params["frame"],
+         "batch_stats": state.batch_stats["frame"]},
+        jnp.zeros((1, 1, 64, 64, 3)), pool=False, train=False)
+    assert feats.shape[-1] == 256 and np.isfinite(np.asarray(feats)).all()
+
+    x = np.random.RandomState(2).randn(1, 3, 64, 64).astype(np.float32)
+    import copy as _copy
+    tnet = _copy.deepcopy(torch_resnet)
+    tnet.layer4.apply(lambda m: _nostride_dilate(m, 2))
+    tnet.eval()
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x)).numpy()
+    from avsep_tpu.models.resnet import ResNet18Features
+    trunk = ResNet18Features(dilate_scale=16)
+    ours = trunk.apply(
+        {"params": state.params["frame"]["features"],
+         "batch_stats": state.batch_stats["frame"]["features"]},
+        jnp.asarray(np.moveaxis(x, 1, -1)), False)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(ours), -1, 1), ref,
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_fetch_tool_rejects_wrong_dict(tmp_path):
+    """The validator names the offending key instead of failing at
+    train-start."""
+    import subprocess
+    import sys as _sys
+    import os as _os
+    bad = tmp_path / "bad.pth"
+    torch.save({"conv1.weight": torch.zeros(64, 3, 7, 7)}, bad)
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    r = subprocess.run(
+        [_sys.executable, _os.path.join(repo, "tools", "fetch_resnet18.py"),
+         "--src", str(bad), "--out", str(tmp_path / "o.pth")],
+        capture_output=True, text=True, cwd=repo)
+    assert r.returncode != 0
+    assert "layer4.1.conv2.weight" in r.stderr
