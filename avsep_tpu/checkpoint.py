@@ -52,10 +52,18 @@ def load_history(ckpt_dir: str) -> Optional[dict]:
 def checkpoint(ckpt_dir: str, state: TrainState, history: dict,
                best_err_holder: dict) -> None:
     """Save latest; promote to best when -val_ao si_sdr improves
-    (reference checkpoint(), main.py:506-533)."""
+    (reference checkpoint(), main.py:506-533).
+
+    Unlike the reference (which resets its best tracker every run,
+    main.py:797, so the first post-resume eval always clobbers *best*),
+    ``best_err`` is persisted in the history json and restored by
+    ``main()`` on resume."""
     print("Saving checkpoints at {} iterations.".format(int(state.step)))
-    save_checkpoint(ckpt_dir, state, history, "latest")
     cur_err = -history["val_ao"]["si_sdr"][-1]
-    if cur_err < best_err_holder.get("best_err", float("inf")):
+    improved = cur_err < best_err_holder.get("best_err", float("inf"))
+    if improved:
         best_err_holder["best_err"] = cur_err
+    history["best_err"] = best_err_holder.get("best_err", float("inf"))
+    save_checkpoint(ckpt_dir, state, history, "latest")
+    if improved:
         save_checkpoint(ckpt_dir, state, history, "best")

@@ -105,7 +105,10 @@ def main(cfg: Config):
 
     iter_time, data_time = AverageMeter(), AverageMeter()
     match_meter = AverageMeter()
-    best_holder = {"best_err": float("inf")}
+    # best_err survives resume via the history json (the reference resets
+    # it every run, main.py:797, letting a worse post-resume eval clobber
+    # the best checkpoint)
+    best_holder = {"best_err": float(history.get("best_err", float("inf")))}
     err_total = err_av = err_ao = 0.0
     av_count = ao_count = 0
 

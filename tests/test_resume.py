@@ -64,3 +64,48 @@ def test_resume_trajectory_identical(setup, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(final_direct),
                     jax.tree_util.tree_leaves(final_resumed)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_best_err_persists_across_resume(setup, tmp_path):
+    """A worse post-resume eval must NOT clobber the best checkpoint:
+    best_err is persisted in the history json (improves on the reference,
+    which resets its tracker every run, main.py:797)."""
+    from avsep_tpu.checkpoint import checkpoint, load_history
+    cfg, nets, state = setup
+    ckpt = str(tmp_path)
+
+    # run 1: good eval -> promoted to best
+    h = new_history()
+    h["val_ao"]["iter"].append(1)
+    h["val_ao"]["si_sdr"].append(10.0)       # best_err = -10
+    holder = {"best_err": float("inf")}
+    s1 = clone(state)._replace(step=jnp.asarray(1, jnp.int32))
+    checkpoint(ckpt, s1, h, holder)
+    assert holder["best_err"] == -10.0
+
+    # "resume": fresh process state, holder rebuilt from history json
+    h2 = load_history(ckpt)
+    holder2 = {"best_err": float(h2.get("best_err", float("inf")))}
+    assert holder2["best_err"] == -10.0
+
+    # run 2: WORSE eval -> latest updated, best untouched
+    h2["val_ao"]["iter"].append(2)
+    h2["val_ao"]["si_sdr"].append(3.0)       # worse (err -3 > -10)
+    s2 = clone(state)._replace(step=jnp.asarray(2, jnp.int32))
+    checkpoint(ckpt, s2, h2, holder2)
+    assert holder2["best_err"] == -10.0
+
+    template = jax.tree_util.tree_map(jnp.zeros_like, clone(state))
+    best = restore_checkpoint(ckpt, template, "best")
+    latest = restore_checkpoint(ckpt, template, "latest")
+    assert int(best.step) == 1               # still run-1's state
+    assert int(latest.step) == 2
+
+    # run 3: better eval -> best re-promoted
+    h2["val_ao"]["iter"].append(3)
+    h2["val_ao"]["si_sdr"].append(20.0)
+    s3 = clone(state)._replace(step=jnp.asarray(3, jnp.int32))
+    checkpoint(ckpt, s3, h2, holder2)
+    best = restore_checkpoint(ckpt, template, "best")
+    assert int(best.step) == 3
+    assert load_history(ckpt)["best_err"] == -20.0
