@@ -1,8 +1,8 @@
-"""Generate a tiny synthetic MUSIC-style dataset + manifest.
+"""Generate a tiny synthetic MUSIC-style dataset + manifests.
 
-Creates per-class tone wavs and frame jpgs under ``--root`` and writes a
-manifest CSV with the reference schema, so the full train/eval/inference
-stack runs without downloading MUSIC:
+Creates per-class tone wavs and frame jpgs and writes manifest CSVs with the
+reference schema, so the full train/eval/inference stack runs without
+downloading MUSIC:
 
     python examples/make_synthetic_data.py --root /tmp/music_toy
     python -m avsep_tpu.main --mode train --id toy \
@@ -14,6 +14,12 @@ stack runs without downloading MUSIC:
         --img_activation relu --loss bce --binary_mask 1 --weighted_loss 1 \
         --one_frame --margin 1 --train_repeat 2 --val_repeat 1 \
         --batch_size_per_gpu 2 --num_iters 20 --eval_iter 10 --disp_iter 5
+
+With ``--layout reference`` the on-disk tree mirrors the reference repo's
+extracted-MUSIC layout (``audio/<cls>/*.wav`` + ``frames/<cls>/*.mp4/`` +
+optional ``audio_duet``/``frames_duet`` pairs, reference data/train.csv
+row format), which is what ``avsep_tpu.data.scripts.post_process_csv
+--emit_splits`` consumes to build the five reference manifests.
 """
 
 import argparse
@@ -30,6 +36,26 @@ from avsep_tpu.data.audio_io import write_wav  # noqa: E402
 SR = 11025
 
 
+def _tone(ci: int, vid: int, n: int, rs) -> np.ndarray:
+    t = np.arange(n) / SR
+    f0 = 180 + 90 * ci + 17 * vid
+    return (0.35 * np.sin(2 * np.pi * f0 * t)
+            + 0.15 * np.sin(2 * np.pi * 2 * f0 * t)
+            + 0.01 * rs.randn(n)).astype(np.float32)
+
+
+def _frames(fdir: str, n_frames: int, rs, size) -> None:
+    from PIL import Image
+    os.makedirs(fdir, exist_ok=True)
+    h, w = size
+    base = rs.randint(0, 200, (h, w, 3), np.uint8)
+    for fi in range(n_frames):
+        img = base.copy()
+        img[:, (fi * 5) % (w - 10): (fi * 5) % (w - 10) + 10] = 255
+        Image.fromarray(img).save(
+            os.path.join(fdir, "{:06d}.jpg".format(fi)), quality=70)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/music_toy")
@@ -38,33 +64,52 @@ def main():
     ap.add_argument("--videos_per_class", type=int, default=2)
     ap.add_argument("--duration", type=float, default=14.0)
     ap.add_argument("--fps", type=float, default=8.0)
+    ap.add_argument("--layout", choices=["flat", "reference"],
+                    default="flat",
+                    help="flat: <root>/<cls>/v.wav (+.mp4/); reference: "
+                         "<root>/{audio,frames}/<cls>/... + duet trees")
+    ap.add_argument("--duets", type=int, default=0,
+                    help="duet recordings per adjacent class pair "
+                         "(reference layout only)")
+    ap.add_argument("--img_size", type=int, nargs=2, default=[120, 160],
+                    metavar=("H", "W"))
     args = ap.parse_args()
 
-    from PIL import Image
     rs = np.random.RandomState(0)
+    n = int(SR * args.duration)
+    n_frames = int(args.duration * args.fps) + 2
     rows = []
+
     for ci, cls in enumerate(args.classes):
-        os.makedirs(os.path.join(args.root, cls), exist_ok=True)
         for vid in range(args.videos_per_class):
-            n = int(SR * args.duration)
-            t = np.arange(n) / SR
-            f0 = 180 + 90 * ci + 17 * vid
-            wav = (0.35 * np.sin(2 * np.pi * f0 * t)
-                   + 0.15 * np.sin(2 * np.pi * 2 * f0 * t)
-                   + 0.01 * rs.randn(n)).astype(np.float32)
-            apath = os.path.join(args.root, cls, f"v{ci}{vid}.wav")
+            wav = _tone(ci, vid, n, rs)
+            if args.layout == "flat":
+                adir = os.path.join(args.root, cls)
+                fdir = os.path.join(args.root, cls, f"v{ci}{vid}.mp4")
+            else:
+                adir = os.path.join(args.root, "audio", cls)
+                fdir = os.path.join(args.root, "frames", cls,
+                                    f"v{ci}{vid}.mp4")
+            os.makedirs(adir, exist_ok=True)
+            apath = os.path.join(adir, f"v{ci}{vid}.wav")
             write_wav(apath, wav, SR)
-            fdir = os.path.join(args.root, cls, f"v{ci}{vid}.mp4")
-            os.makedirs(fdir, exist_ok=True)
-            n_frames = int(args.duration * args.fps) + 2
-            base = rs.randint(0, 200, (120, 160, 3), np.uint8)
-            for fi in range(n_frames):
-                img = base.copy()
-                img[:, (fi * 5) % 150: (fi * 5) % 150 + 10] = 255
-                Image.fromarray(img).save(
-                    os.path.join(fdir, "{:06d}.jpg".format(fi)))
+            _frames(fdir, n_frames, rs, args.img_size)
             rows.append([apath, fdir, str(int(args.duration * args.fps)),
                          str(args.fps), str(args.duration), cls])
+
+    if args.layout == "reference" and args.duets:
+        for ci in range(len(args.classes) - 1):
+            c1, c2 = args.classes[ci], args.classes[ci + 1]
+            pair = f"{c1} {c2}"  # reference duet class format, duet.csv
+            for vid in range(args.duets):
+                wav = 0.5 * (_tone(ci, vid, n, rs)
+                             + _tone(ci + 1, vid, n, rs))
+                adir = os.path.join(args.root, "audio_duet", pair)
+                fdir = os.path.join(args.root, "frames_duet", pair,
+                                    f"d{ci}{vid}.mp4")
+                os.makedirs(adir, exist_ok=True)
+                write_wav(os.path.join(adir, f"d{ci}{vid}.wav"), wav, SR)
+                _frames(fdir, n_frames, rs, args.img_size)
 
     csv_path = os.path.join(args.root, "train.csv")
     with open(csv_path, "w") as f:

@@ -130,3 +130,52 @@ def test_batch_loader_and_concat(manifest):
     assert b0["audios"].shape[1:] == (2, AUDLEN)
     assert b0["frames"].ndim == 6  # B, N, T, H, W, 3
     assert isinstance(b0["id"][0], str)
+
+
+def test_post_process_csv_emit_splits(tmp_path):
+    """emit_splits produces the five reference manifests (data/{train,val,
+    train_av,train_ao,duet}.csv) from a reference-layout extracted tree
+    (reference data/*.csv + data/scripts/post_process_csv.py)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = tmp_path / "tree"
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples",
+                                      "make_synthetic_data.py"),
+         "--root", str(root), "--layout", "reference",
+         "--classes", "cello", "flute", "--videos_per_class", "2",
+         "--duets", "1", "--duration", "0.6", "--fps", "3",
+         "--img_size", "24", "32"],
+        capture_output=True, text=True, cwd=repo)
+    assert r.returncode == 0, r.stderr
+
+    out = tmp_path / "manifests"
+    r = subprocess.run(
+        [sys.executable, "-m", "avsep_tpu.data.scripts.post_process_csv",
+         "--emit_splits", "--root", str(root), "--out_dir", str(out),
+         "--val_per_class", "1"],
+        capture_output=True, text=True, cwd=repo)
+    assert r.returncode == 0, r.stderr
+
+    names = ["train", "val", "train_av", "train_ao", "duet"]
+    rows = {n: [l.strip().split(",") for l in
+                open(out / f"{n}.csv").read().splitlines()]
+            for n in names}
+    assert len(rows["train"]) == 2 and len(rows["val"]) == 2
+    assert len(rows["train_av"]) + len(rows["train_ao"]) == 2
+    assert len(rows["duet"]) == 1
+    # schema: audio, frames_dir, n_frames, fps, len_sec, class — and the
+    # files actually exist with consistent probes
+    for n in names:
+        for row in rows[n]:
+            assert len(row) == 6
+            assert os.path.exists(row[0])
+            assert os.path.isdir(row[1])
+            assert int(row[2]) > 0 and float(row[3]) > 0
+            assert abs(float(row[4]) - 0.6) < 0.05
+    assert rows["duet"][0][5] == "cello flute"
+    # val and train are disjoint
+    tr = {r[0] for r in rows["train"]}
+    assert not tr & {r[0] for r in rows["val"]}
