@@ -107,6 +107,9 @@ class Config:
     att_type: str = "cos"
 
     # ---- script-only / SoP++ flags the reference never declared ----
+    # duet_vis_rate is passed by the reference's inference/vis scripts
+    # (scripts/{inference,vis_model}.sh:63) but consumed by nothing there
+    # either — declared here only so those script invocations parse.
     duet_vis_rate: float = 0.0
     restart_from_latest: bool = False
     train_steps: Tuple[int, ...] = (20000, 40000)
@@ -128,6 +131,14 @@ class Config:
     # combined 2B statistics instead of per-pass B statistics, so training
     # dynamics differ slightly — off by default for strict parity.
     fused_av: bool = False
+    # inference demo selector (python -m avsep_tpu.inference):
+    #   vis       attention-overlay video on one duet clip (default)
+    #   share     blank-frame 'share' ablation (reference inference.py:88-107)
+    #   sweep     vis demo over every row of the duet manifest (:421-426)
+    #   synthesis mix two solo clips and separate (:237-252)
+    #   pixelwise per-pixel sound map via InnerProd.forward_pixelwise
+    #             (reference synthesizer_net.py:29-38, SoP nets)
+    demo_mode: str = "vis"
 
     # -------------------------------------------------------------- helpers
     @property

@@ -169,7 +169,129 @@ def synthesis_demo(cfg: Config, nets: Nets, params, batch_stats,
     print(f"Saved synthetic-mix demo to {save_folder}")
 
 
+def share_demo(cfg: Config, nets: Nets, params, batch_stats, duet_info,
+               save_folder: str) -> None:
+    """'share' blank-frame separation: the single shared visual stream is
+    replaced by an all-black frame so it carries no information — the
+    audio-only ablation of the duet demo (reference share_forward,
+    inference.py:88-107)."""
+    a_path, fdir, num_f, fps, a_len = duet_info[:5]
+    wav, c_t = get_demo_audio(a_path, num_f, float(fps), a_len, cfg)
+    p = os.path.join(fdir,
+                     "{:06d}.jpg".format(int(round(c_t * float(fps)))))
+    frame = val_transform([Image.open(p).convert("RGB")], cfg.imgSize)[0]
+    frames = jnp.asarray(frame[None, None, None])      # [1, 1, 1, H, W, 3]
+
+    @jax.jit
+    def run(a, f):
+        return separate(nets, params, batch_stats, a, f, cfg,
+                        rng=jax.random.PRNGKey(0), share_blank=True)
+    out = jax.device_get(run(jnp.asarray(wav[None]), frames))
+
+    makedirs(save_folder, remove=False)
+    write_wav(os.path.join(save_folder, "mix.wav"), wav, cfg.audRate)
+    from imageio import imwrite
+    for n in range(cfg.num_mix):
+        write_wav(os.path.join(save_folder, f"pred{n + 1}.wav"),
+                  out["wavs"][0, n], cfg.audRate)
+        mask_img = (np.clip(out["masks"][0, n], 0, 1) * 255).astype(np.uint8)
+        imwrite(os.path.join(save_folder, f"predmask{n + 1}.jpg"),
+                mask_img[::-1])
+    print(f"Saved share (blank-frame) demo to {save_folder}")
+
+
+def duet_sweep(cfg: Config, nets: Nets, params, batch_stats, rows,
+               save_root: str, use_vis: bool = True) -> None:
+    """vis_video over every row of a duet manifest (the reference's
+    all-real-mixtures sweep, inference.py:421-426)."""
+    for i, row in enumerate(rows):
+        if len(row) < 5:
+            continue
+        print(f"Processing video {i}.")
+        vis_video(cfg, nets, params, batch_stats, row[:5],
+                  os.path.join(save_root, f"duet_{i}"), use_vis)
+
+
+def pixelwise_demo(cfg: Config, duet_info, save_folder: str) -> None:
+    """Per-pixel sound-energy map via ``InnerProd.forward_pixelwise``
+    (reference synthesizer_net.py:29-38 — implemented there but reachable
+    from nothing; this wires it to a demo).  Uses the SoP nets: every
+    visual-map pixel drives the synthesizer against the sound basis, the
+    per-pixel masks are reduced to energy, and the map is overlaid on the
+    frame.  Requires ``vis_channels == num_channels`` (the SoP setting)."""
+    if cfg.vis_channels != cfg.num_channels:
+        raise SystemExit(
+            f"pixelwise demo needs vis_channels ({cfg.vis_channels}) == "
+            f"num_channels ({cfg.num_channels}) — the SoP configuration")
+    from avsep_tpu.models.builder import activate
+    from avsep_tpu.ops.prepare import prepare
+    from avsep_tpu.ops.stft import stft_magphase
+    from avsep_tpu.sop_engine import _apply_sound
+    from avsep_tpu.sop_main import build_sop_nets, init_sop_state
+
+    nets = build_sop_nets(cfg)
+    state = init_sop_state(cfg, nets, jax.random.PRNGKey(cfg.seed))
+    params, stats = state.params, state.batch_stats
+
+    a_path, fdir, num_f, fps, a_len = duet_info[:5]
+    wav, c_t = get_demo_audio(a_path, num_f, float(fps), a_len, cfg)
+    p = os.path.join(fdir,
+                     "{:06d}.jpg".format(int(round(c_t * float(fps)))))
+    frame = val_transform([Image.open(p).convert("RGB")], cfg.imgSize)[0]
+
+    @jax.jit
+    def run(a, f):
+        mag_mix, _ = stft_magphase(a, cfg.stft_frame, cfg.stft_hop,
+                                   use_pallas=cfg.use_pallas)
+        prep = prepare(mag_mix, mag_mix[:, None],
+                       log_freq=bool(cfg.log_freq), weighted_loss=False,
+                       binary_mask=True)
+        basis, _, _ = _apply_sound(nets, params, stats, prep.log_mag_mix,
+                                   cfg, False)               # [1,FO,T,C]
+        # always the UNPOOLED spatial map (pool=False), whatever
+        # not_pool_vis says — pixelwise needs per-pixel features
+        fmap = nets.frame.apply(
+            {"params": params["frame"], "batch_stats": stats["frame"]},
+            f, pool=False, train=False)                      # [1,HI,WI,C]
+        fmap = activate(fmap, cfg.img_activation)
+        pix = nets.synthesizer.apply(
+            {"params": params["synthesizer"]}, fmap, basis,
+            method="forward_pixelwise")       # [1, HI, WI, FO, T]
+        masks = jax.nn.sigmoid(pix)
+        # sound energy each pixel would claim from the mixture
+        energy = jnp.sum(masks * prep.mag_mix[:, None, None], axis=(-2, -1))
+        return energy, masks
+
+    energy, masks = jax.device_get(run(jnp.asarray(wav[None]),
+                                       jnp.asarray(frame[None, None])))
+
+    makedirs(save_folder, remove=False)
+    from imageio import imwrite
+    imwrite(os.path.join(save_folder, "sound_map.jpg"),
+            attention_overlay(frame, energy[0]))
+    e = energy[0]
+    e = (e - e.min()) / (e.max() - e.min() + 1e-8)
+    imwrite(os.path.join(save_folder, "sound_map_raw.jpg"),
+            (e * 255).astype(np.uint8))
+    np.save(os.path.join(save_folder, "pixel_masks.npy"),
+            masks[0].astype(np.float16))
+    print(f"Saved pixelwise sound map to {save_folder}")
+
+
 def main(cfg: Config):
+    if cfg.demo_mode not in ("vis", "share", "sweep", "synthesis",
+                             "pixelwise"):
+        raise SystemExit(f"unknown --demo_mode {cfg.demo_mode!r} "
+                         "(vis | share | sweep | synthesis | pixelwise)")
+    from avsep_tpu.data.dataset import read_manifest
+    rows = read_manifest(cfg.list_val[0])
+    demo_root = os.path.join(cfg.ckpt, cfg.id, "demo")
+
+    if cfg.demo_mode == "pixelwise":
+        # SoP nets are built inside (different net family)
+        pixelwise_demo(cfg, rows[0], os.path.join(demo_root, "pixelwise"))
+        return
+
     from avsep_tpu.train import init_state
     nets = build_nets(cfg)
     state = init_state(cfg, nets, jax.random.PRNGKey(cfg.seed))
@@ -179,12 +301,24 @@ def main(cfg: Config):
         state = restore_checkpoint(os.path.join(cfg.ckpt, cfg.id), state,
                                    "best")
 
-    from avsep_tpu.data.dataset import read_manifest
-    rows = read_manifest(cfg.list_val[0])
     info = rows[0]
-    save = os.path.join(cfg.ckpt, cfg.id, "demo",
-                        os.path.basename(info[0]).split(".")[0])
-    vis_video(cfg, nets, state.params, state.batch_stats, info, save)
+    clip = os.path.basename(info[0]).split(".")[0]
+    if cfg.demo_mode == "vis":
+        vis_video(cfg, nets, state.params, state.batch_stats, info,
+                  os.path.join(demo_root, clip))
+    elif cfg.demo_mode == "share":
+        share_demo(cfg, nets, state.params, state.batch_stats, info,
+                   os.path.join(demo_root, f"share_{clip}"))
+    elif cfg.demo_mode == "sweep":
+        duet_sweep(cfg, nets, state.params, state.batch_stats, rows,
+                   demo_root)
+    elif cfg.demo_mode == "synthesis":
+        if len(rows) < 2:
+            raise SystemExit("synthesis demo needs >= 2 rows in the "
+                             "manifest (two solo clips to mix)")
+        synthesis_demo(cfg, nets, state.params, state.batch_stats,
+                       rows[0], rows[1],
+                       os.path.join(demo_root, "synthesis"))
 
 
 if __name__ == "__main__":

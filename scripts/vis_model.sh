@@ -1,8 +1,10 @@
 #!/bin/bash
 # Attention / localization visualization over the duet set
 # (mirrors reference scripts/vis_model.sh): runs the demo pipeline on
-# several duet clips with the SoP++ attention model or the CoLoc model.
+# EVERY duet.csv clip (the reference's all-real-mixtures sweep,
+# inference.py:421-426) with the CoLoc model.
 OPTS=""
+OPTS+="--demo_mode sweep "
 OPTS+="--id Exp5_BaseSig "
 OPTS+="--list_val data/duet.csv "
 OPTS+="--arch_sound unet7 "

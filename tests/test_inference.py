@@ -55,3 +55,49 @@ def test_synthesis_demo(small_setup, manifest, tmp_path):  # noqa: F811
                    rows[2], save)
     for f in ("mix.wav", "pred1.wav", "pred2.wav", "gt1.wav", "gt2.wav"):
         assert os.path.exists(os.path.join(save, f))
+
+
+def test_share_demo_blank_frames(small_setup, manifest, tmp_path):  # noqa: F811
+    """share mode: blank-frame separation writes wavs + masks (reference
+    share_forward, inference.py:88-107)."""
+    from avsep_tpu.inference import share_demo
+    cfg, nets, state = small_setup
+    rows = read_manifest(manifest)
+    save = str(tmp_path / "share")
+    share_demo(cfg, nets, state.params, state.batch_stats, rows[0], save)
+    for f in ("mix.wav", "pred1.wav", "pred2.wav", "predmask1.jpg"):
+        assert os.path.exists(os.path.join(save, f)), f
+
+
+def test_duet_sweep_all_rows(small_setup, manifest, tmp_path):  # noqa: F811
+    """sweep mode visits every manifest row (reference inference.py:421-426)."""
+    from avsep_tpu.inference import duet_sweep
+    cfg, nets, state = small_setup
+    rows = read_manifest(manifest)[:2]
+    duet_sweep(cfg, nets, state.params, state.batch_stats, rows,
+               str(tmp_path))
+    for i in range(2):
+        assert os.path.exists(os.path.join(str(tmp_path), f"duet_{i}",
+                                           "pred1.wav"))
+
+
+def test_pixelwise_sound_map(manifest, tmp_path):  # noqa: F811
+    """pixelwise mode exercises InnerProd.forward_pixelwise end-to-end
+    (reference synthesizer_net.py:29-38)."""
+    from avsep_tpu.inference import pixelwise_demo
+    from tests.test_dataset import make_cfg
+    cfg = make_cfg().replace(num_channels=2, vis_channels=2,
+                             arch_sound="unet5", imgSize=64,
+                             att_type="sig", img_activation="relu",
+                             one_frame=True)
+    rows = read_manifest(manifest)
+    save = str(tmp_path / "pix")
+    pixelwise_demo(cfg, rows[0], save)
+    assert os.path.exists(os.path.join(save, "sound_map.jpg"))
+    assert os.path.exists(os.path.join(save, "sound_map_raw.jpg"))
+    masks = np.load(os.path.join(save, "pixel_masks.npy"))
+    assert masks.ndim == 4 and np.isfinite(masks).all()
+
+    # mismatched channel config is rejected with a precise message
+    with pytest.raises(SystemExit, match="vis_channels"):
+        pixelwise_demo(cfg.replace(vis_channels=8), rows[0], save)
