@@ -25,6 +25,13 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: torch-parity / CLI / long-compile tests. Fast tier: "
+        "pytest -m 'not slow' (<~4 min); full suite ~15 min.")
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)

@@ -1,6 +1,8 @@
 """bfloat16 compute-path smoke test: the MXU-friendly dtype option
 (cfg.dtype='bfloat16') must produce finite masks close to the f32 path."""
 
+import pytest
+
 import numpy as np
 
 import jax
@@ -10,6 +12,8 @@ from avsep_tpu.engine import Nets, forward
 from avsep_tpu.models.resnet import FrameEncoder
 from avsep_tpu.models.unet import AudioUnet
 from tests.test_train_step import tiny_batch, tiny_cfg
+
+pytestmark = pytest.mark.slow  # torch-parity / long-compile tier
 
 
 def test_bf16_forward_close_to_f32():

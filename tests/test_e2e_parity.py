@@ -7,6 +7,8 @@ This is the BASELINE.md parity claim: masks bit-for-bit at float32
 tolerance, waveforms within float tolerance post-iSTFT.
 """
 
+import pytest
+
 import numpy as np
 import torch
 import torch.nn.functional as F
@@ -22,6 +24,8 @@ from avsep_tpu.models.torch_import import resnet_from_torch, unet_from_torch
 from avsep_tpu.ops.warp import warpgrid
 from tests.reference_loader import load_reference_models
 from tests.test_resnet_parity import TResNet18
+
+pytestmark = pytest.mark.slow  # torch-parity / long-compile tier
 
 N_FFT, HOP = 1022, 256
 

@@ -122,6 +122,7 @@ def test_evaluate_mesh_matches_single_device(small_setup, manifest):  # noqa: F8
                                    rtol=2e-4, atol=1e-5, err_msg=k)
 
 
+@pytest.mark.slow
 def test_evaluate_meters_independent_of_batch_size(small_setup, manifest):  # noqa: F811
     """Padding-clean meters: the AV eval summary must not depend on how the
     val set is batched (the padded duplicate rows used to bias err/match)."""

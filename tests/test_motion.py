@@ -8,6 +8,8 @@ import jax.numpy as jnp
 
 from avsep_tpu.models.motion import ResNet3dFastOnly
 
+pytestmark = pytest.mark.slow  # torch-parity / long-compile tier
+
 
 def test_resnet3d_fast_shapes():
     net = ResNet3dFastOnly(base_channels=8)

@@ -1,6 +1,8 @@
 """Remat option: gradients with rematerialized forwards match the plain
 path (cfg.remat trades FLOPs for HBM)."""
 
+import pytest
+
 import numpy as np
 
 import jax
@@ -8,6 +10,8 @@ import jax.numpy as jnp
 
 from avsep_tpu.engine import build_nets, forward
 from tests.test_train_step import tiny_batch, tiny_cfg
+
+pytestmark = pytest.mark.slow  # torch-parity / long-compile tier
 
 
 def test_remat_grads_match():

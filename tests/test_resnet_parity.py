@@ -15,6 +15,8 @@ import jax.numpy as jnp
 from avsep_tpu.models.resnet import FrameEncoder
 from avsep_tpu.models.torch_import import resnet_from_torch
 
+pytestmark = pytest.mark.slow  # torch-parity / long-compile tier
+
 
 # ---- minimal torchvision-compatible resnet18 golden -------------------------
 

@@ -12,6 +12,8 @@ from avsep_tpu.models.sop import BasisUnet, att_model, match_att
 from avsep_tpu.models.torch_import import unet_from_torch
 from tests.reference_loader import load_reference_sop
 
+pytestmark = pytest.mark.slow  # torch-parity / long-compile tier
+
 
 @pytest.fixture(scope="module")
 def sop():

@@ -11,6 +11,8 @@ from avsep_tpu.parallel.mesh import make_mesh, shard_batch, shard_tree
 from avsep_tpu.sop_main import (
     build_sop_nets, init_sop_state, make_sop_train_step)
 
+pytestmark = pytest.mark.slow  # torch-parity / long-compile tier
+
 AUDLEN = 64 * 256 - 1
 
 

@@ -4,6 +4,8 @@ main.py:51-95, forward_av :113-148 double pass, forward_ao :97-111 PIT)
 with imported weights — catches composition mistakes the per-module parity
 tests cannot."""
 
+import pytest
+
 import numpy as np
 import torch
 import torch.nn.functional as F
@@ -19,6 +21,8 @@ from avsep_tpu.models.torch_import import resnet_from_torch, unet_from_torch
 from avsep_tpu.ops.warp import warpgrid
 from tests.reference_loader import load_reference_models
 from tests.test_resnet_parity import TResNet18
+
+pytestmark = pytest.mark.slow  # torch-parity / long-compile tier
 
 N_FFT, HOP = 1022, 256
 

@@ -174,6 +174,7 @@ def test_batch_scheduler_matches_reference_gating():
         False, False, False, False, True, False, True, False]
 
 
+@pytest.mark.slow
 def test_mixvis_and_sel_train_steps():
     """MixVis (forward_avmiximg, reference main.py:162-192) and CoLoc_Sel
     fusion variants train end-to-end."""
@@ -272,6 +273,7 @@ def test_mixvis_per_sample_loss_contract():
                                float(jnp.mean(out["match_ps"])), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_step_1_vs_8_device_equivalence(setup):
     """Same global batch, same rng: one AV train step on a 1-device mesh and
     an 8-device mesh must produce the same updated params/metrics (catches

@@ -13,6 +13,8 @@ from avsep_tpu.models.builder import ModelBuilder
 from avsep_tpu.models.torch_import import unet_from_torch
 from tests.reference_loader import load_reference_models
 
+pytestmark = pytest.mark.slow  # torch-parity / long-compile tier
+
 
 @pytest.fixture(scope="module")
 def ref_mods():
