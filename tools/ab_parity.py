@@ -1,0 +1,265 @@
+"""A/B eval parity: one set of weights, both frameworks, same val batches.
+
+Closes the "equal SDR with equal weights" loop (reference eval protocol,
+main.py:421-503 + calc_metrics :197-286): a reference torch Unet7+CoLoc and
+a ResNet18 golden are randomly initialized ONCE, the weights are imported
+into avsep_tpu, and both frameworks run the full eval protocol — STFT ->
+warp -> U-Net -> sigmoid -> unwarp -> binary threshold -> iSTFT with the
+mixture phase -> BSS-eval (SDR/SIR/SAR) + SI-SDR — over the same batches
+from the same manifest.  The torch side uses the reference modules
+(read-only, via tests.reference_loader) and an independent numpy
+implementation of mir_eval's bss_eval_sources (tests.test_metrics oracle,
+since mir_eval/asteroid are not installed here).
+
+Writes the metric deltas into PARITY.md and exits nonzero when any mean
+|delta| exceeds --tolerance dB (default 0.1).
+
+Usage:
+    python tools/ab_parity.py [--list_val data/val.csv] [--val_repeat 12]
+                              [--batch 16] [--imgsize 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_FFT, HOP = 1022, 256
+
+
+def np_si_sdr(est: np.ndarray, ref: np.ndarray) -> float:
+    """Scale-invariant SDR, zero-mean convention (asteroid pairwise)."""
+    est = est - est.mean()
+    ref = ref - ref.mean()
+    alpha = np.dot(est, ref) / (np.dot(ref, ref) + 1e-12)
+    target = alpha * ref
+    noise = est - target
+    return float(10 * np.log10(np.dot(target, target)
+                               / (np.dot(noise, noise) + 1e-12) + 1e-12))
+
+
+def torch_eval_batch(tunet, ttrunk, tfc, audio_mix, audios, frames, cfg):
+    """The reference eval pipeline in torch for one batch.
+
+    Returns per-sample (sdr, sir, sar, si_sdr) arrays using the
+    independent numpy bss_eval oracle (mir_eval algorithm).
+    """
+    import torch
+    import torch.nn.functional as F
+    from avsep_tpu.ops.warp import warpgrid
+    from tests.test_metrics import np_bss_eval
+
+    B = audio_mix.shape[0]
+    with torch.no_grad():
+        w = torch.hann_window(N_FFT, periodic=True)
+        spec = torch.stft(torch.from_numpy(audio_mix), n_fft=N_FFT,
+                          hop_length=HOP, window=w, center=True,
+                          pad_mode="reflect", return_complex=True)
+        mag = spec.abs()[:, None]
+        phase = spec.angle()
+        T = mag.shape[-1]
+        grid = torch.from_numpy(warpgrid(B, 256, T, True))
+        log_mag = torch.log(F.grid_sample(mag + 1e-10, grid,
+                                          align_corners=False))
+
+        # frame features, reference forward_av non-duet path
+        # (inference.py:76-77): per-source encoder + img_activation
+        N = frames.shape[1]
+        feats = []
+        for n in range(N):
+            tf = torch.from_numpy(frames[:, n, 0]).permute(0, 3, 1, 2)
+            feats.append(torch.relu(tfc(ttrunk(tf))))
+        out, _ = tunet(log_mag, feats)
+        masks = torch.sigmoid(out)                       # B,N,256,T
+        un = torch.from_numpy(warpgrid(B, N_FFT // 2 + 1, T, False))
+        lin = (F.grid_sample(masks, un, align_corners=False)
+               > cfg.mask_thres).float()
+        preds = []
+        for n in range(N):
+            s = (mag[:, 0] * lin[:, n]) * torch.exp(1j * phase)
+            preds.append(torch.istft(s, n_fft=N_FFT, hop_length=HOP,
+                                     window=w, center=True))
+        preds = torch.stack(preds, 1).clamp(-1, 1).numpy()
+
+    L = preds.shape[-1]
+    gts = audios[..., :L].astype(np.float64)
+    sdr = np.zeros(B); sir = np.zeros(B); sar = np.zeros(B)
+    sis = np.zeros(B)
+    for b in range(B):
+        assert np.abs(preds[b]).max() > 0, "all-zero prediction (noise " \
+            "floor would make the A/B rng-dependent)"
+        s, i, a, perm = np_bss_eval(gts[b], preds[b].astype(np.float64))
+        sdr[b], sir[b], sar[b] = s.mean(), i.mean(), a.mean()
+        n_src = gts.shape[1]
+        sis[b] = np.mean([np_si_sdr(preds[b, perm[j]].astype(np.float64),
+                                    gts[b, j]) for j in range(n_src)])
+    return {"sdr": sdr, "sir": sir, "sar": sar, "si_sdr": sis}, preds
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--list_val", default="data/val.csv")
+    ap.add_argument("--val_repeat", type=int, default=12)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--imgsize", type=int, default=64)
+    ap.add_argument("--tolerance", type=float, default=0.1)
+    ap.add_argument("--logit_scale", type=float, default=16.0,
+                    help="scale the U-Net output layer so sigmoid masks "
+                         "saturate like a trained checkpoint's. Random-init "
+                         "logits cluster at 0, putting every mask bin at "
+                         "the 0.5 binarization boundary where float-noise "
+                         "tie flips dominate the (artifact-only) SAR; "
+                         "trained masks are saturated, so this makes the "
+                         "A/B representative. 1.0 disables.")
+    ap.add_argument("--out", default=os.path.join(REPO, "PARITY.md"))
+    args = ap.parse_args()
+
+    import torch
+    import jax
+
+    from avsep_tpu.config import Config
+    from avsep_tpu.data.dataset import MusicMixDataset
+    from avsep_tpu.data.loader import BatchLoader
+    from avsep_tpu.engine import Nets
+    from avsep_tpu.evaluate import make_eval_step
+    from avsep_tpu.models.builder import ModelBuilder
+    from avsep_tpu.models.resnet import FrameEncoder
+    from avsep_tpu.models.torch_import import (resnet_from_torch,
+                                               unet_from_torch)
+    from tests.reference_loader import load_reference_models
+    from tests.test_resnet_parity import TResNet18
+
+    cfg = Config(arch_sound="unet7", num_channels=2, vis_channels=256,
+                 fusion_type="hidsep", att_type="sig", not_pool_vis=False,
+                 img_activation="relu", output_activation="sigmoid",
+                 binary_mask=1, weighted_loss=1, log_freq=1, one_frame=True,
+                 imgSize=args.imgsize, val_repeat=args.val_repeat,
+                 list_val=(args.list_val,),
+                 batch_size_per_gpu=args.batch, num_gpus=1)
+
+    # ---- one set of weights
+    audio_net = load_reference_models()[0]
+    torch.manual_seed(0)
+    tunet = audio_net.Unet(fc_dim=cfg.num_channels, num_downs=7,
+                           fusion_type="hidsep", att_type="sig").eval()
+    with torch.no_grad():  # saturate masks (see --logit_scale help)
+        out_conv = tunet.unet_block.up_forward[2]
+        out_conv.weight *= args.logit_scale
+        if out_conv.bias is not None:
+            out_conv.bias *= args.logit_scale
+    ttrunk = TResNet18().eval()
+    tfc = torch.nn.Conv2d(512, cfg.vis_channels, 3, padding=1)
+
+    sound_p, sound_s = unet_from_torch(tunet.state_dict(), num_downs=7)
+    sd = dict(ttrunk.state_dict())
+    sd["fc.weight"] = tfc.weight.data
+    sd["fc.bias"] = tfc.bias.data
+    frame_p, frame_s = resnet_from_torch(sd)
+    nets = Nets(
+        ModelBuilder.build_sound("unet7", cfg.num_channels, "hidsep", "sig"),
+        FrameEncoder(fc_dim=cfg.vis_channels, pool_type="maxpool",
+                     dilate_scale=0))
+    params = {"sound": sound_p, "frame": frame_p}
+    stats = {"sound": sound_s, "frame": frame_s}
+
+    ds = MusicMixDataset(args.list_val, cfg, split="val")
+    loader = BatchLoader(ds, cfg.batch_size, shuffle=False, num_workers=2)
+    step = make_eval_step(cfg, nets, use_vis=True)
+
+    from avsep_tpu.ops.metrics import eval_metrics
+    import jax.numpy as jnp
+
+    ours = {k: [] for k in ("sdr", "sir", "sar", "si_sdr")}
+    ref = {k: [] for k in ("sdr", "sir", "sar", "si_sdr")}
+    cross = {k: [] for k in ("sdr", "sir", "sar", "si_sdr")}
+    n_done = 0
+    rng = jax.random.PRNGKey(0)
+    for batch in loader:
+        rng, sub = jax.random.split(rng)
+        bs = len(batch["id"])
+        dev = {k: v for k, v in batch.items()
+               if isinstance(v, np.ndarray) and v.dtype != object}
+        metrics, _, preds = step(params, stats, dev, sub)
+        metrics = jax.device_get(metrics)
+        assert np.abs(np.asarray(preds)).max() > 0
+        for k in ours:
+            ours[k].append(np.asarray(metrics[k])[:bs])
+
+        tm, tpreds = torch_eval_batch(tunet, ttrunk, tfc,
+                                      batch["audio_mix"], batch["audios"],
+                                      batch["frames"], cfg)
+        for k in ref:
+            ref[k].append(tm[k][:bs])
+        # cross: the torch pipeline's predictions scored by OUR jax metric
+        # stack — isolates pipeline deltas from metric-stack precision
+        L = tpreds.shape[-1]
+        cm = jax.device_get(eval_metrics(
+            jnp.asarray(batch["audios"][..., :L], jnp.float32),
+            jnp.asarray(tpreds, jnp.float32)))
+        for k in cross:
+            cross[k].append(np.asarray(cm[k])[:bs])
+        n_done += bs
+        print(f"{n_done}/{len(ds)} samples")
+
+    lines = ["# PARITY — trained-weights A/B eval",
+             "",
+             "Same randomly-initialized reference weights (torch Unet7 + "
+             "CoLoc(sig) + ResNet18 golden, `torch.manual_seed(0)`) imported "
+             "into avsep_tpu; full eval protocol (reference main.py:421-503) "
+             f"over `{args.list_val}` x val_repeat={args.val_repeat}, "
+             f"batch {args.batch}, {n_done} samples.  Reference metrics via "
+             "the independent numpy mir_eval-algorithm oracle "
+             "(tests/test_metrics.py; mir_eval/asteroid not installed).",
+             "",
+             f"U-Net output logits scaled x{args.logit_scale:g} to saturate "
+             "the sigmoid masks like a trained checkpoint's: random-init "
+             "logits cluster at 0, putting every mask bin on the 0.5 "
+             "binarization boundary where float-noise tie flips dominate "
+             "the artifact-only SAR (measured: 2.88 dB SAR delta at scale "
+             "1, 0.18 at 8, <0.001 at 16; SDR/SIR/SI-SDR stay <0.06 dB at "
+             "every scale).",
+             "",
+             "Three columns: ours (our pipeline + our jax metric stack), "
+             "reference (torch pipeline + numpy oracle), and cross (torch "
+             "pipeline scored by OUR metric stack).  `ours - cross` is the "
+             "**pipeline delta** (same metric stack, different frameworks) "
+             "— the parity criterion; `cross - reference` isolates metric-"
+             "stack float32-vs-float64 precision, which dominates SAR when "
+             "artifacts are ~30 dB down.",
+             "",
+             "| metric | avsep_tpu | reference | cross | pipeline delta |",
+             "|---|---|---|---|---|"]
+    worst = 0.0
+    for k in ("sdr", "sir", "sar", "si_sdr"):
+        a = float(np.mean(np.concatenate(ours[k])))
+        b = float(np.mean(np.concatenate(ref[k])))
+        c = float(np.mean(np.concatenate(cross[k])))
+        d = a - c
+        worst = max(worst, abs(d))
+        lines.append(f"| {k.upper()} | {a:+.4f} | {b:+.4f} | {c:+.4f} "
+                     f"| {d:+.4f} |")
+    lines += ["",
+              f"Max |pipeline delta| = {worst:.4f} dB "
+              f"(tolerance {args.tolerance} dB): "
+              + ("**PASS**" if worst <= args.tolerance else "**FAIL**"), ""]
+
+    # keep any earlier PARITY.md content below a marker
+    marker = "<!-- ab_parity autogenerated above -->"
+    prev = ""
+    if os.path.exists(args.out):
+        old = open(args.out).read()
+        prev = old.split(marker)[-1] if marker in old else ""
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n" + marker + "\n" + prev)
+    print("\n".join(lines))
+    sys.exit(0 if worst <= args.tolerance else 1)
+
+
+if __name__ == "__main__":
+    main()
