@@ -355,13 +355,23 @@ def separate(nets: Nets, params, batch_stats, audio_mix: jnp.ndarray,
         frame_vars = {"params": params["frame"],
                       "batch_stats": batch_stats["frame"]}
         n_streams = frames.shape[1]
+        duet = n_streams == 1 and cfg.fusion_type != "MixVis"
         feats = []
         for n in range(n_streams):
-            f, _ = _frame_features(nets, frame_vars, frames[:, n], cfg,
-                                   False)
+            if duet and not share_blank:
+                # duet: the reference feeds the duplicated frame feature
+                # WITHOUT img_activation (inference.py:71-73), unlike the
+                # non-duet branch (:76-77) and the share path (:100-107)
+                # which both activate.  Almost certainly a reference
+                # quirk, matched exactly for demo-output parity.
+                f = nets.frame.apply(frame_vars, frames[:, n],
+                                     pool=cfg.not_pool_vis, train=False)
+            else:
+                f, _ = _frame_features(nets, frame_vars, frames[:, n], cfg,
+                                       False)
             feats.append(f)
-        if n_streams == 1 and cfg.fusion_type != "MixVis":
-            # duet: one visual stream duplicated (reference inference.py:65-73)
+        if duet:
+            # one visual stream duplicated (reference inference.py:65-73)
             feats = feats * 2
         v = jnp.stack(feats)
 

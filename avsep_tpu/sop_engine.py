@@ -121,7 +121,8 @@ def sop_forward(nets: SopNets, params, batch_stats, batch, cfg: Config,
         outputs = {"pred_masks": jnp.moveaxis(ordered, -1, 1),
                    "gt_masks": prep.gt_masks, "mag_mix": prep.mag_mix,
                    "mags": prep.mags, "weight": prep.weights,
-                   "match_loss": jnp.zeros(())}
+                   "match_loss": jnp.zeros(()),
+                   "err_ps": losses}  # [B] per-sample PIT losses
         return err, (new_stats, outputs)
 
     # ---------------- AV stages
@@ -172,8 +173,16 @@ def sop_forward(nets: SopNets, params, batch_stats, batch, cfg: Config,
     err = crit.multi_source_loss(jnp.moveaxis(preds, 1, 0),
                                  jnp.moveaxis(prep.gt_masks, 1, 0),
                                  prep.weights, kind=cfg.loss)
-    err = err + (extra_loss if stage > 1 else 0.0)
+    # [B] per-sample losses whose mean equals the batch scalar (padding-
+    # clean eval meters; the scalar extra_loss is shared across samples)
+    err_ps = crit.multi_source_loss(
+        jnp.moveaxis(preds, 1, 0), jnp.moveaxis(prep.gt_masks, 1, 0),
+        prep.weights, kind=cfg.loss, per_sample=True)
+    if stage > 1:
+        err = err + extra_loss
+        err_ps = err_ps + extra_loss
     outputs = {"pred_masks": preds, "gt_masks": prep.gt_masks,
                "mag_mix": prep.mag_mix, "mags": prep.mags,
-               "weight": prep.weights, "match_loss": match_loss}
+               "weight": prep.weights, "match_loss": match_loss,
+               "err_ps": err_ps}
     return err, (new_stats, outputs)

@@ -165,7 +165,7 @@ def main(cfg: Config):
     av_iter, ao_iter = iter_forever(av_loader), iter_forever(ao_loader)
 
     if cfg.mode == "eval":
-        _sop_evaluate(cfg, nets, state, val_loader, history, 0)
+        _sop_evaluate(cfg, nets, state, val_loader, history, 0, mesh=mesh)
         print("Evaluation Done!")
         return
 
@@ -198,51 +198,109 @@ def main(cfg: Config):
             history["train"]["err"].append(float(metrics["err"]))
 
         if i % cfg.eval_iter == 0 and i > 1:
-            _sop_evaluate(cfg, nets, state, val_loader, history, i)
+            _sop_evaluate(cfg, nets, state, val_loader, history, i,
+                          mesh=mesh)
             checkpoint(cfg.ckpt, state, history, best_holder)
 
     print("Training Done!")
 
 
-def _sop_evaluate(cfg, nets, state, loader, history, itera):
-    """val sweep for both branches using the SoP++ forward."""
+_SOP_EVAL_CACHE: Dict[Tuple[int, int, bool], object] = {}
+
+
+def make_sop_eval_step(cfg, nets, use_vis: bool):
+    """One jitted program: forward -> unwarp -> iSTFT -> BSS metrics.
+
+    Cached per (cfg, nets, branch) at module level so repeated
+    ``_sop_evaluate`` calls inside the train loop reuse the compiled
+    executable instead of retracing a fresh closure each eval (the main
+    harness' pattern, ``evaluate.make_eval_step``).
+    """
+    cache_key = (id(cfg), id(nets), use_vis)
+    if cache_key in _SOP_EVAL_CACHE:
+        return _SOP_EVAL_CACHE[cache_key]
+
     from avsep_tpu.ops.metrics import eval_metrics
     from avsep_tpu.ops.stft import istft, stft_magphase
     from avsep_tpu.ops.warp import unwarp_mask
 
+    @jax.jit
+    def eval_step(params, batch_stats, dev, sub):
+        err, (_, outputs) = sop_forward(nets, params, batch_stats, dev,
+                                        cfg, sub, use_vis, False, 3)
+        mag_mix, phase_mix = stft_magphase(dev["audio_mix"], cfg.stft_frame,
+                                           cfg.stft_hop,
+                                           use_pallas=cfg.use_pallas)
+        pred = outputs["pred_masks"]
+        if cfg.log_freq:
+            pred = unwarp_mask(pred, HO=cfg.HS)
+        if cfg.binary_mask:
+            pred = (pred > cfg.mask_thres).astype(jnp.float32)
+        spec = (mag_mix[:, None] * pred).astype(jnp.complex64) * \
+            jnp.exp(1j * phase_mix[:, None].astype(jnp.complex64))
+        wavs = jnp.clip(istft(spec, cfg.stft_hop,
+                              use_pallas=cfg.use_pallas), -1, 1)
+        m = eval_metrics(dev["audios"][..., :wavs.shape[-1]], wavs)
+        m["err_ps"] = outputs["err_ps"]  # [B]
+        return m
+
+    _SOP_EVAL_CACHE[cache_key] = eval_step
+    return eval_step
+
+
+def _sop_evaluate(cfg, nets, state, loader, history, itera, mesh=None):
+    """val sweep for both branches using the SoP++ forward.
+
+    Mirrors the main harness (``evaluate.evaluate``): batches are padded
+    to one static mesh-divisible shape (no shape-change retraces on the
+    ragged final batch), sharded across ``mesh`` when given, padded rows
+    are excluded from every meter via the per-sample ``err_ps`` losses,
+    and a per-sample results.csv is written per branch.
+    """
+    import csv
+
+    from avsep_tpu.parallel.mesh import shard_batch
+
+    n_shard = mesh.devices.size if mesh is not None else 1
     for use_vis in (True, False):
         meters = {k: AverageMeter() for k in
                   ("err", "sdr", "sir", "sar", "si_sdr")}
-
-        @jax.jit  # one program: forward -> unwarp -> iSTFT -> metrics
-        def eval_step(params, batch_stats, dev, sub, _use_vis=use_vis):
-            err, (_, outputs) = sop_forward(nets, params, batch_stats, dev,
-                                            cfg, sub, _use_vis, False, 3)
-            mag_mix, phase_mix = stft_magphase(dev["audio_mix"],
-                                               cfg.stft_frame, cfg.stft_hop)
-            pred = unwarp_mask(outputs["pred_masks"], HO=cfg.HS)
-            if cfg.binary_mask:
-                pred = (pred > cfg.mask_thres).astype(jnp.float32)
-            spec = (mag_mix[:, None] * pred).astype(jnp.complex64) * \
-                jnp.exp(1j * phase_mix[:, None].astype(jnp.complex64))
-            wavs = jnp.clip(istft(spec, cfg.stft_hop), -1, 1)
-            m = eval_metrics(dev["audios"][..., :wavs.shape[-1]], wavs)
-            return err, m
+        eval_step = make_sop_eval_step(cfg, nets, use_vis)
+        csv_ls = []
 
         rng = jax.random.PRNGKey(cfg.seed)
+        pad_to = None
         for batch in loader:
             rng, sub = jax.random.split(rng)
-            dev = {k: jnp.asarray(v) for k, v in batch.items()
-                   if isinstance(v, np.ndarray)}
-            err, m = eval_step(state.params, state.batch_stats, dev, sub)
-            m = jax.device_get(m)
-            meters["err"].update(float(err))
+            true_bs = len(batch["id"])
+            if pad_to is None:
+                pad_to = -(-true_bs // n_shard) * n_shard
+            dev = {}
+            for k, v in batch.items():
+                if not isinstance(v, np.ndarray):
+                    continue
+                if v.shape[0] < pad_to:  # pad ragged batch; padded rows
+                    # are trimmed from the meters below
+                    reps = np.repeat(v[-1:], pad_to - v.shape[0], axis=0)
+                    v = np.concatenate([v, reps], axis=0)
+                dev[k] = v
+            dev = (shard_batch(dev, mesh) if mesh is not None
+                   else {k: jnp.asarray(v) for k, v in dev.items()})
+            m = jax.device_get(eval_step(state.params, state.batch_stats,
+                                         dev, sub))
+            m = {k: v[:true_bs] for k, v in m.items()}
+            meters["err"].update(float(np.mean(m["err_ps"])),
+                                 weight=true_bs)
             for k in ("sdr", "sir", "sar", "si_sdr"):
-                meters[k].update(float(np.mean(m[k])))
+                meters[k].update(float(np.mean(m[k])), weight=true_bs)
+            for n in range(true_bs):
+                csv_ls.append({"id": batch["id"][n],
+                               "sdr": float(m["sdr"][n]),
+                               "sir": float(m["sir"][n]),
+                               "si-snr": float(m["si_sdr"][n])})
         key = "val_av" if use_vis else "val_ao"
         history[key]["iter"].append(itera)
-        for k in ("err",):
-            history[key]["err"].append(meters["err"].average())
+        history[key]["err"].append(meters["err"].average())
         for k in ("sdr", "sir", "sar", "si_sdr"):
             history[key][k].append(meters[k].average())
         print("[SoP++ Eval] {} iter {}: SDR {:.3f} SIR {:.3f} SAR {:.3f} "
@@ -250,6 +308,16 @@ def _sop_evaluate(cfg, nets, state, loader, history, itera):
                                      meters["sir"].average(),
                                      meters["sar"].average(),
                                      meters["si_sdr"].average()))
+
+        # per-sample results.csv (main harness parity, evaluate.py:162-168)
+        save_dir = os.path.join(cfg.ckpt, "visualization",
+                                "sop_av" if use_vis else "sop_ao")
+        makedirs(save_dir, remove=False)
+        with open(os.path.join(save_dir, "results.csv"), "w") as f:
+            writer = csv.DictWriter(
+                f, fieldnames=["id", "sdr", "sir", "si-snr"])
+            writer.writeheader()
+            writer.writerows(csv_ls)
 
 
 if __name__ == "__main__":

@@ -107,3 +107,58 @@ def test_separate_matches_reference_pipeline():
     err = np.abs(got["wavs"][..., :L] - ref_wavs[..., :L])
     assert err.max() < 5e-3, f"wav max err {err.max()}"
     assert err.mean() < 1e-4, f"wav mean err {err.mean()}"
+
+
+def test_separate_duet_matches_reference_quirk():
+    """Duet (single visual stream): the reference duplicates the frame
+    feature WITHOUT img_activation (inference.py:71-73) — unlike the
+    non-duet branch (:76-77).  VERDICT weak #7: engine.separate must
+    reproduce that quirk exactly."""
+    audio_net = load_reference_models()[0]
+    torch.manual_seed(1)
+    tunet = audio_net.Unet(fc_dim=2, num_downs=7, fusion_type="hidsep",
+                           att_type="sig").eval()
+    ttrunk = TResNet18().eval()
+    tfc = torch.nn.Conv2d(512, 256, 3, padding=1)
+
+    cfg = Config(arch_sound="unet7", num_channels=2, vis_channels=256,
+                 fusion_type="hidsep", att_type="sig", not_pool_vis=False,
+                 img_activation="relu", output_activation="sigmoid",
+                 binary_mask=1, log_freq=1, one_frame=True)
+
+    sound_p, sound_s = unet_from_torch(tunet.state_dict(), num_downs=7)
+    sd = dict(ttrunk.state_dict())
+    sd["fc.weight"] = tfc.weight.data
+    sd["fc.bias"] = tfc.bias.data
+    frame_p, frame_s = resnet_from_torch(sd)
+    nets = Nets(ModelBuilder.build_sound("unet7", 2, "hidsep", "sig"),
+                FrameEncoder(fc_dim=256, pool_type="maxpool",
+                             dilate_scale=0))
+    params = {"sound": sound_p, "frame": frame_p}
+    stats = {"sound": sound_s, "frame": frame_s}
+
+    rs = np.random.RandomState(1)
+    B = 2
+    wav = (rs.randn(B, 65535) * 0.1).astype(np.float32)
+    frames = rs.rand(B, 1, 1, 64, 64, 3).astype(np.float32)  # ONE stream
+
+    with torch.no_grad():
+        spec = _torch_stft(wav)
+        mag = spec.abs()[:, None]
+        T = mag.shape[-1]
+        grid = torch.from_numpy(warpgrid(B, 256, T, True))
+        warped = F.grid_sample(mag + 1e-10, grid, align_corners=False)
+        log_mag = torch.log(warped)
+
+        tf = torch.from_numpy(frames[:, 0, 0]).permute(0, 3, 1, 2)
+        feat = tfc(ttrunk(tf))          # NO img_activation (the quirk)
+        out, _ = tunet(log_mag, [feat, feat])
+        masks = torch.sigmoid(out)
+        un = torch.from_numpy(warpgrid(B, 512, T, False))
+        lin_bin = (F.grid_sample(masks, un, align_corners=False)
+                   > 0.5).float()
+
+    got = jax.device_get(separate(
+        nets, params, stats, jnp.asarray(wav), jnp.asarray(frames), cfg))
+    mask_mismatch = np.mean(got["masks_linear"] != lin_bin.numpy())
+    assert mask_mismatch < 2e-4, f"duet mask mismatch rate {mask_mismatch}"
