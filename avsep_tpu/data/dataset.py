@@ -176,11 +176,15 @@ class MusicMixDataset:
         for info, t in zip(infos, center_times):
             paths = self.frame_paths(info, t, rng)
             imgs = [Image.open(p).convert("RGB") for p in paths]
+            # uint8 wire format: ImageNet normalization runs on device
+            # (engine.normalize_frames) — 4x fewer host->device bytes
             if self.split == "train":
-                out.append(train_transform(imgs, cfg.imgSize, rng))
+                out.append(train_transform(imgs, cfg.imgSize, rng,
+                                           normalize=False))
             else:
-                out.append(val_transform(imgs, cfg.imgSize))
-        return np.stack(out)  # [N, T, H, W, 3]
+                out.append(val_transform(imgs, cfg.imgSize,
+                                         normalize=False))
+        return np.stack(out)  # [N, T, H, W, 3] uint8
 
     def get_frames_clips(self, infos, center_times, rng: random.Random):
         """Clip pipeline (reference ``get_frames_mmcv``, dataset/

@@ -114,24 +114,40 @@ def to_normalized_array(frames: Sequence[Image.Image]) -> np.ndarray:
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def to_uint8_array(frames: Sequence[Image.Image]) -> np.ndarray:
+    """PIL list -> [T, H, W, 3] uint8 'wire format': normalization is
+    deferred to the device (``engine.normalize_frames``).  4x fewer
+    host->device bytes than float32 and no per-pixel float math on the
+    loader CPUs — the TPU does the /255-mean-std inside the jit program."""
+    return np.stack([np.asarray(img.convert("RGB"), np.uint8)
+                     for img in frames])
+
+
 def train_transform(frames: List[Image.Image], img_size: int,
-                    rng: random.Random) -> np.ndarray:
+                    rng: random.Random, normalize: bool = True) -> np.ndarray:
     """Resize(1.1x) -> RandomCrop -> RandomHFlip -> normalize
-    (reference dataset/base.py:99-110)."""
+    (reference dataset/base.py:99-110).  With ``normalize=False`` the
+    output is uint8 and normalization happens on device."""
     frames = resize_shorter(frames, int(img_size * 1.1))
     frames = random_crop(frames, img_size, rng)
     frames = random_hflip(frames, rng)
-    return to_normalized_array(frames)
+    return to_normalized_array(frames) if normalize \
+        else to_uint8_array(frames)
 
 
-def val_transform(frames: List[Image.Image], img_size: int) -> np.ndarray:
+def val_transform(frames: List[Image.Image], img_size: int,
+                  normalize: bool = True) -> np.ndarray:
     """Resize -> CenterCrop -> normalize (reference dataset/base.py:103-106)."""
     frames = resize_shorter(frames, img_size)
     frames = center_crop(frames, img_size)
-    return to_normalized_array(frames)
+    return to_normalized_array(frames) if normalize \
+        else to_uint8_array(frames)
 
 
 def denormalize(frame: np.ndarray) -> np.ndarray:
-    """[H, W, 3] normalized -> uint8 RGB (reference utils.recover_rgb)."""
+    """[H, W, 3] normalized -> uint8 RGB (reference utils.recover_rgb).
+    uint8 wire-format frames are already RGB and pass through."""
+    if frame.dtype == np.uint8:
+        return frame
     x = frame * IMAGENET_STD + IMAGENET_MEAN
     return (np.clip(x, 0, 1) * 255).astype(np.uint8)

@@ -87,10 +87,30 @@ def _maybe_remat(fn, cfg: Config):
     return jax.checkpoint(fn) if cfg.remat else fn
 
 
+_IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+_IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+
+
+def normalize_frames(x: jnp.ndarray) -> jnp.ndarray:
+    """uint8 wire-format frames -> ImageNet-normalized float32, on device.
+
+    The datasets ship frames as uint8 (4x fewer host->device bytes than
+    float32; the /255-mean-std math rides the TPU's VPU inside the jit
+    program instead of burning loader CPU).  Float inputs (demo paths,
+    parity tests feeding pre-normalized arrays) pass through unchanged —
+    the dtype dispatch is static under jit.
+    """
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) * (1.0 / 255.0)
+        return (x - _IMAGENET_MEAN) / _IMAGENET_STD
+    return x
+
+
 def _frame_features(nets: Nets, variables, frames_n, cfg: Config,
                     train: bool):
     """One source's frames -> activated feature map/vector
     (reference main.py:120-122)."""
+    frames_n = normalize_frames(frames_n)
     kw = dict(pool=cfg.not_pool_vis, train=train)
     if train:
         def fwd(variables, frames_n):
@@ -344,6 +364,11 @@ def separate(nets: Nets, params, batch_stats, audio_mix: jnp.ndarray,
                   "batch_stats": batch_stats["sound"]}
 
     option = None
+    if frames is not None:
+        # normalize BEFORE any blanking: the reference's blank frame is
+        # zeros in normalized space (share_forward zeroes the transformed
+        # tensor, inference.py:103-107), not a black RGB image
+        frames = normalize_frames(frames)
     if share_blank and frames is not None:
         # 'share' audio-only mode: feed an all-black frame so the shared
         # visual stream carries no information (reference inference.py

@@ -100,14 +100,18 @@ def evaluate(cfg: Config, nets: Nets, params, batch_stats, loader, history,
           "audio visual" if use_vis_eval else "audio only")
     rng = jax.random.PRNGKey(cfg.seed)
     n_shard = mesh.devices.size if mesh is not None else 1
-    pad_to = None
-    for i, batch in enumerate(loader):
-        rng, sub = jax.random.split(rng)
+    pad_state = {"pad_to": None}
+
+    def _pad_and_ship(batch):
+        """Pad to one static mesh-divisible shape + start the transfer —
+        runs in the DevicePrefetcher thread so batch i+1's host work and
+        host->device copy ride under batch i's device step."""
         true_bs = len(batch["id"])
-        if pad_to is None:
+        if pad_state["pad_to"] is None:
             # one static jit batch shape for the whole sweep, divisible by
             # the mesh width so dim 0 shards evenly
-            pad_to = -(-true_bs // n_shard) * n_shard
+            pad_state["pad_to"] = -(-true_bs // n_shard) * n_shard
+        pad_to = pad_state["pad_to"]
         dev_batch = {}
         for k, v in batch.items():
             if not isinstance(v, np.ndarray):
@@ -122,6 +126,12 @@ def evaluate(cfg: Config, nets: Nets, params, batch_stats, loader, history,
             dev_batch = shard_batch(dev_batch, mesh)
         else:
             dev_batch = {k: jnp.asarray(v) for k, v in dev_batch.items()}
+        return batch, dev_batch, true_bs
+
+    from avsep_tpu.data.loader import DevicePrefetcher
+    for batch, dev_batch, true_bs in DevicePrefetcher(iter(loader),
+                                                      _pad_and_ship):
+        rng, sub = jax.random.split(rng)
         metrics, outputs, preds_wav = step(params, batch_stats, dev_batch,
                                            sub)
         metrics = jax.device_get(metrics)

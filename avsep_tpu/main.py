@@ -21,7 +21,9 @@ from avsep_tpu.checkpoint import (
     checkpoint, load_history, restore_checkpoint)
 from avsep_tpu.config import Config, parse_args
 from avsep_tpu.data.dataset import MusicMixDataset
-from avsep_tpu.data.loader import BatchLoader, ConcatDataset, iter_forever
+from avsep_tpu.data.loader import (
+    BatchLoader, ConcatDataset, DevicePrefetcher, ProcessBatchLoader,
+    iter_forever)
 from avsep_tpu.engine import build_nets
 from avsep_tpu.evaluate import evaluate
 from avsep_tpu.parallel.mesh import make_mesh, shard_batch
@@ -34,19 +36,26 @@ from avsep_tpu.utils.media import makedirs
 def build_loaders(cfg: Config, val_only: bool = False):
     """AV / AO / val loaders (reference main.py:633-657).  ``val_only``
     skips the train datasets so eval mode needs no train manifests."""
+    val_cls = ProcessBatchLoader if int(cfg.workers) > 0 else BatchLoader
     val_ds = ConcatDataset([MusicMixDataset(p, cfg, split="val")
                             for p in cfg.list_val])
-    val_loader = BatchLoader(val_ds, cfg.batch_size, shuffle=False,
-                             num_workers=4, seed=cfg.seed)
+    val_loader = val_cls(val_ds, cfg.batch_size, shuffle=False,
+                         num_workers=min(4, max(1, int(cfg.workers))),
+                         seed=cfg.seed)
     if val_only:
         return None, None, val_loader
     av_ds = ConcatDataset([MusicMixDataset(p, cfg, split="train")
                            for p in cfg.av_list_train])
     ao_ds = ConcatDataset([MusicMixDataset(p, cfg, split="train", seed=10)
                            for p in cfg.ao_list_train])
-    mk = lambda ds, sh: BatchLoader(ds, cfg.batch_size, shuffle=sh,
-                                    num_workers=int(cfg.workers),
-                                    seed=cfg.seed, drop_last=True)
+    # process workers for the train loaders (reference DataLoader
+    # num_workers, main.py:633-657): GIL-free producers keep batches
+    # flowing while the main thread blocks in device dispatch.
+    # workers=0 -> in-process thread loader (torch's workers=0 analogue).
+    cls = ProcessBatchLoader if int(cfg.workers) > 0 else BatchLoader
+    mk = lambda ds, sh: cls(ds, cfg.batch_size, shuffle=sh,
+                            num_workers=max(1, int(cfg.workers)),
+                            seed=cfg.seed, drop_last=True)
     return mk(av_ds, True), mk(ao_ds, True), val_loader
 
 
@@ -101,7 +110,12 @@ def main(cfg: Config):
     step_av = make_train_step(cfg, nets, use_vis=True)
     step_ao = make_train_step(cfg, nets, use_vis=False)
     use_vis_fn = batch_scheduler(cfg)
-    av_iter, ao_iter = iter_forever(av_loader), iter_forever(ao_loader)
+    # device-side prefetch: batch i+1's host->device transfer rides under
+    # batch i's step instead of showing up in data_time
+    av_iter = DevicePrefetcher(iter_forever(av_loader),
+                               lambda b: to_device(b, mesh))
+    ao_iter = DevicePrefetcher(iter_forever(ao_loader),
+                               lambda b: to_device(b, mesh))
 
     iter_time, data_time = AverageMeter(), AverageMeter()
     match_meter = AverageMeter()
@@ -123,7 +137,7 @@ def main(cfg: Config):
 
         tic = time.perf_counter()
         use_vis = use_vis_fn(i)
-        batch = to_device(next(av_iter if use_vis else ao_iter), mesh)
+        batch = next(av_iter if use_vis else ao_iter)
         data_time.update(time.perf_counter() - tic)
 
         rng, sub = jax.random.split(rng)

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from avsep_tpu.config import Config
-from avsep_tpu.engine import _prepare
+from avsep_tpu.engine import _prepare, normalize_frames
 from avsep_tpu.models import criterion as crit
 from avsep_tpu.models.builder import activate
 from avsep_tpu.models.sop import get_attmodule
@@ -49,6 +49,7 @@ def stage_for_iter(i: int, train_steps) -> int:
 
 def _apply_frame(nets: SopNets, params, stats, frames_n, cfg: Config,
                  train: bool, stop_grad: bool = False):
+    frames_n = normalize_frames(frames_n)  # uint8 wire format -> float32
     variables = {"params": params["frame"], "batch_stats": stats["frame"]}
     kw = dict(pool=cfg.not_pool_vis, train=train and not stop_grad)
     if train and not stop_grad:

@@ -22,7 +22,7 @@ import optax
 
 from avsep_tpu.checkpoint import checkpoint, load_history, restore_checkpoint
 from avsep_tpu.config import Config, parse_args
-from avsep_tpu.data.loader import iter_forever
+from avsep_tpu.data.loader import DevicePrefetcher, iter_forever
 from avsep_tpu.main import build_loaders, to_device
 from avsep_tpu.models.resnet import FrameEncoder
 from avsep_tpu.models.sop import BasisUnet
@@ -162,7 +162,11 @@ def main(cfg: Config):
 
     av_loader, ao_loader, val_loader = build_loaders(cfg)
     use_vis_fn = batch_scheduler(cfg)
-    av_iter, ao_iter = iter_forever(av_loader), iter_forever(ao_loader)
+    # device-side prefetch over GIL-free process loaders (main.py parity)
+    av_iter = DevicePrefetcher(iter_forever(av_loader),
+                               lambda b: to_device(b, mesh))
+    ao_iter = DevicePrefetcher(iter_forever(ao_loader),
+                               lambda b: to_device(b, mesh))
 
     if cfg.mode == "eval":
         _sop_evaluate(cfg, nets, state, val_loader, history, 0, mesh=mesh)
@@ -177,7 +181,7 @@ def main(cfg: Config):
         tic = time.perf_counter()
         use_vis = use_vis_fn(i)
         stage = stage_for_iter(i, cfg.train_steps) if use_vis else 0
-        batch = to_device(next(av_iter if use_vis else ao_iter), mesh)
+        batch = next(av_iter if use_vis else ao_iter)
         data_time.update(time.perf_counter() - tic)
 
         key = (use_vis, stage)

@@ -179,3 +179,33 @@ def test_post_process_csv_emit_splits(tmp_path):
     # val and train are disjoint
     tr = {r[0] for r in rows["train"]}
     assert not tr & {r[0] for r in rows["val"]}
+
+
+def test_process_loader_matches_thread_loader(manifest):
+    """ProcessBatchLoader must yield byte-identical batches in the same
+    order as BatchLoader (GIL-free producers, same determinism)."""
+    from avsep_tpu.data.loader import ProcessBatchLoader
+
+    cfg = make_cfg()
+    ds = MusicMixDataset(manifest, cfg, split="val")
+    ref = list(BatchLoader(ds, batch_size=4, shuffle=True, num_workers=2,
+                           seed=3))
+    got = list(ProcessBatchLoader(ds, batch_size=4, shuffle=True,
+                                  num_workers=3, seed=3))
+    assert len(ref) == len(got)
+    for a, b in zip(ref, got):
+        assert a["id"] == b["id"]
+        np.testing.assert_array_equal(a["audios"], b["audios"])
+        np.testing.assert_array_equal(a["frames"], b["frames"])
+
+
+def test_device_prefetcher_order_and_exhaustion(manifest):
+    from avsep_tpu.data.loader import DevicePrefetcher
+
+    cfg = make_cfg()
+    ds = MusicMixDataset(manifest, cfg, split="val")
+    loader = BatchLoader(ds, batch_size=4, shuffle=False, num_workers=2)
+    seen = [b["id"] for b in loader]
+    pf = DevicePrefetcher(iter(loader), lambda b: b, depth=2)
+    got = [b["id"] for b in pf]
+    assert got == seen

@@ -299,3 +299,29 @@ def test_train_step_1_vs_8_device_equivalence(setup):
                     jax.tree_util.tree_leaves(s8.batch_stats)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-6)
+
+
+def test_uint8_wire_frames_match_float(setup):
+    """uint8 wire-format frames (normalized on device by
+    engine.normalize_frames) must produce the same loss as host-normalized
+    float32 frames."""
+    from avsep_tpu.data.video_transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    cfg, nets, state = setup
+    batch = tiny_batch(cfg)
+    u8 = np.asarray(
+        np.round(np.asarray(batch["frames"]) * 255.0), np.uint8)
+    normed = (u8.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+
+    err_f, (_, out_f) = forward(
+        nets, state.params, state.batch_stats,
+        {**batch, "frames": jnp.asarray(normed)}, cfg,
+        jax.random.PRNGKey(3), use_vis=True, train=False)
+    err_u, (_, out_u) = forward(
+        nets, state.params, state.batch_stats,
+        {**batch, "frames": jnp.asarray(u8)}, cfg,
+        jax.random.PRNGKey(3), use_vis=True, train=False)
+    assert abs(float(err_f) - float(err_u)) < 1e-5
+    np.testing.assert_allclose(np.asarray(out_f["pred_masks"]),
+                               np.asarray(out_u["pred_masks"]),
+                               rtol=1e-4, atol=1e-5)
