@@ -271,7 +271,9 @@ class MusicMixDataset:
             "audios": np.zeros((N, cfg.audLen), np.float32),
             "audio_mix": np.zeros(cfg.audLen, np.float32),
             "frames": np.zeros((N, T, cfg.imgSize, cfg.imgSize, 3),
-                               np.float32),
+                               np.uint8),  # match the live uint8 wire
+                                           # format so collate never mixes
+                                           # dtypes in one batch
             "id": "dummy",
             "class": np.zeros(N, np.int32),
             "infos": [],
@@ -310,7 +312,9 @@ class MusicMixDataset:
             return {
                 "audios": np.asarray(audios, np.float32),
                 "audio_mix": mixture.astype(np.float32),
-                "frames": frames.astype(np.float32),
+                # frames stay uint8 on the wire — ImageNet normalization
+                # runs on device (engine.normalize_frames dtype dispatch)
+                "frames": frames,
                 "clips": clips.astype(np.float32),  # [N, clip_len, H, W, 3]
                 "id": name,
                 "class": class_ids,
@@ -319,7 +323,7 @@ class MusicMixDataset:
         return {
             "audios": np.asarray(audios, np.float32),     # [N, L]
             "audio_mix": mixture.astype(np.float32),      # [L]
-            "frames": frames.astype(np.float32),          # [N, T, H, W, 3]
+            "frames": frames,    # [N, T, H, W, 3] uint8 wire format
             "id": name,
             "class": class_ids,
             "infos": infos,

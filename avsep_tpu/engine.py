@@ -202,10 +202,11 @@ def forward_av(nets: Nets, params, batch_stats, batch, cfg: Config,
                  for n in range(N)]
         ps = jnp.stack(preds)
         gts = jnp.moveaxis(gt, 1, 0)
-        err = crit.multi_source_loss(ps, gts, prep.weights, kind=cfg.loss)
         err_ps = crit.multi_source_loss(ps, gts, prep.weights, kind=cfg.loss,
                                         per_sample=True)
-        return preds, err, err_ps, meta, upd
+        # scalar == mean of per-sample exactly (equal element counts) —
+        # one elementwise BCE pass instead of two
+        return preds, jnp.mean(err_ps), err_ps, meta, upd
 
     r1, r0 = (jax.random.split(rng) if rng is not None else (None, None))
     _, err1, ps1, meta1, upd1 = one_pass(feats[::-1], prep.gt_masks[:, ::-1],
@@ -258,10 +259,9 @@ def _forward_av_fused(nets: Nets, params, batch_stats, prep, feats, fstats,
     w2 = jnp.concatenate([prep.weights, prep.weights], axis=0)
     preds2 = jnp.stack([activate(pred2[..., n], cfg.output_activation)
                         for n in range(N)])              # [N, 2B, F, T]
-    err_both = crit.multi_source_loss(preds2, jnp.moveaxis(gt2, 1, 0), w2,
-                                      kind=cfg.loss)
     err_both_ps = crit.multi_source_loss(preds2, jnp.moveaxis(gt2, 1, 0),
                                          w2, kind=cfg.loss, per_sample=True)
+    err_both = jnp.mean(err_both_ps)
     # mean over the doubled batch == (err1 + err0) / 2 exactly
     match_loss = meta.match_loss * 2.0                   # sum of two means
     match_ps = meta.match_ps[:B] + meta.match_ps[B:]

@@ -32,9 +32,23 @@ from avsep_tpu.utils.meters import AverageMeter
 from avsep_tpu.utils.viz import plot_loss_metrics
 
 
+# (cfg, nets, branch) -> jitted step.  jax.jit caches by function object,
+# so building a fresh closure per evaluate() call would retrace AND
+# recompile the full forward+BSS program (20-40 s on TPU) at every in-
+# training eval.  Entries store (cfg, nets, step): the identity check makes
+# id()-key collisions harmless and the pinned references keep ids stable.
+_EVAL_STEP_CACHE: dict = {}
+_EVAL_STEP_CACHE_CAP = 8
+
+
 def make_eval_step(cfg: Config, nets: Nets, use_vis: bool):
     """One jitted program: forward -> unwarp -> threshold -> iSTFT ->
-    BSS metrics (reference main.py:444-451 + calc_metrics :197-286)."""
+    BSS metrics (reference main.py:444-451 + calc_metrics :197-286).
+    Cached per (cfg, nets, branch) so repeated evals reuse the executable."""
+    key = (id(cfg), id(nets), use_vis)
+    hit = _EVAL_STEP_CACHE.get(key)
+    if hit is not None and hit[0] is cfg and hit[1] is nets:
+        return hit[2]
 
     @jax.jit
     def step(params, batch_stats, batch, rng):
@@ -71,6 +85,9 @@ def make_eval_step(cfg: Config, nets: Nets, use_vis: bool):
         metrics["match_ps"] = outputs["match_ps"]    # [B] per-sample match
         return metrics, outputs, preds_wav
 
+    if len(_EVAL_STEP_CACHE) >= _EVAL_STEP_CACHE_CAP:
+        _EVAL_STEP_CACHE.clear()   # bound memory in config-sweep processes
+    _EVAL_STEP_CACHE[key] = (cfg, nets, step)
     return step
 
 

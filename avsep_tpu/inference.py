@@ -231,6 +231,12 @@ def pixelwise_demo(cfg: Config, duet_info, save_folder: str) -> None:
 
     nets = build_sop_nets(cfg)
     state = init_sop_state(cfg, nets, jax.random.PRNGKey(cfg.seed))
+    # load the trained SoP checkpoint like every other demo mode (random
+    # init would render the sound map meaningless noise)
+    ckpt_dir = os.path.join(cfg.ckpt, cfg.id)
+    if cfg.load_ckpt or os.path.isdir(os.path.join(ckpt_dir, "state_best")):
+        from avsep_tpu.checkpoint import restore_checkpoint
+        state = restore_checkpoint(ckpt_dir, state, "best")
     params, stats = state.params, state.batch_stats
 
     a_path, fdir, num_f, fps, a_len = duet_info[:5]

@@ -39,9 +39,10 @@ def build_loaders(cfg: Config, val_only: bool = False):
     val_cls = ProcessBatchLoader if int(cfg.workers) > 0 else BatchLoader
     val_ds = ConcatDataset([MusicMixDataset(p, cfg, split="val")
                             for p in cfg.list_val])
+    # the reference hardcodes 4 val workers regardless of --workers
+    # (main.py:656), so --workers 0 must not serialize the val sweep
     val_loader = val_cls(val_ds, cfg.batch_size, shuffle=False,
-                         num_workers=min(4, max(1, int(cfg.workers))),
-                         seed=cfg.seed)
+                         num_workers=4, seed=cfg.seed)
     if val_only:
         return None, None, val_loader
     av_ds = ConcatDataset([MusicMixDataset(p, cfg, split="train")

@@ -76,14 +76,13 @@ def multi_source_loss(preds: jnp.ndarray, targets: jnp.ndarray,
     the scalar loss exactly (all samples have equal element counts) — used
     by eval to exclude padded rows from the meters.
     """
-    if per_sample:
-        e = _ELEMENTWISE[kind](preds, targets)
-        if weight is not None:
-            e = e * weight  # weight [B, ...] broadcasts over the source axis
-        return jnp.mean(e, axis=(0,) + tuple(range(2, e.ndim)))  # [B]
-    per_source = jax.vmap(
-        lambda p, t: weighted_loss(p, t, weight, kind))(preds, targets)
-    return jnp.mean(per_source)
+    e = _ELEMENTWISE[kind](preds, targets)
+    if weight is not None:
+        e = e * weight  # weight [B, ...] broadcasts over the source axis
+    ps = jnp.mean(e, axis=(0,) + tuple(range(2, e.ndim)))  # [B]
+    # every sample has the same element count, so the scalar is exactly
+    # the mean of the per-sample losses — one elementwise pass serves both
+    return ps if per_sample else jnp.mean(ps)
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "n_sources"))

@@ -171,14 +171,12 @@ def sop_forward(nets: SopNets, params, batch_stats, batch, cfg: Config,
     preds = jnp.stack(
         [_synthesize(nets, params, ctx[:, n], basis, cfg)
          for n in range(N)], axis=1)               # [B, N, H, W]
-    err = crit.multi_source_loss(jnp.moveaxis(preds, 1, 0),
-                                 jnp.moveaxis(prep.gt_masks, 1, 0),
-                                 prep.weights, kind=cfg.loss)
     # [B] per-sample losses whose mean equals the batch scalar (padding-
     # clean eval meters; the scalar extra_loss is shared across samples)
     err_ps = crit.multi_source_loss(
         jnp.moveaxis(preds, 1, 0), jnp.moveaxis(prep.gt_masks, 1, 0),
         prep.weights, kind=cfg.loss, per_sample=True)
+    err = jnp.mean(err_ps)
     if stage > 1:
         err = err + extra_loss
         err_ps = err_ps + extra_loss

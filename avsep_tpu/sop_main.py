@@ -74,7 +74,11 @@ def init_sop_state(cfg: Config, nets: SopNets, rng) -> TrainState:
         params["sound"], stats["sound"] = p, s
     if cfg.weights_frame.endswith(".pth"):
         p, s = resnet_from_torch(load_torch_checkpoint(cfg.weights_frame))
-        params["frame"], stats["frame"] = p, s
+        # torchvision ImageNet dicts carry no conv fc head (the converter
+        # skips their 2-D linear) — merge so the freshly initialized fc
+        # survives, as in train.py:113-121
+        params["frame"] = {**params["frame"], **p}
+        stats["frame"] = {**stats["frame"], **s}
     if cfg.weights_synthesizer.endswith(".pth"):
         params["synthesizer"] = synthesizer_from_torch(
             load_torch_checkpoint(cfg.weights_synthesizer))
@@ -160,22 +164,28 @@ def main(cfg: Config):
             state = restore_checkpoint(cfg.ckpt, state, "latest")
             print("Recovered from history.")
 
-    av_loader, ao_loader, val_loader = build_loaders(cfg)
-    use_vis_fn = batch_scheduler(cfg)
-    # device-side prefetch over GIL-free process loaders (main.py parity)
-    av_iter = DevicePrefetcher(iter_forever(av_loader),
-                               lambda b: to_device(b, mesh))
-    ao_iter = DevicePrefetcher(iter_forever(ao_loader),
-                               lambda b: to_device(b, mesh))
+    av_loader, ao_loader, val_loader = build_loaders(
+        cfg, val_only=cfg.mode == "eval")
 
     if cfg.mode == "eval":
         _sop_evaluate(cfg, nets, state, val_loader, history, 0, mesh=mesh)
         print("Evaluation Done!")
         return
 
+    use_vis_fn = batch_scheduler(cfg)
+    # device-side prefetch over GIL-free process loaders (main.py parity);
+    # constructed only in train mode — DevicePrefetcher starts pulling
+    # batches (and forking loader workers) the moment it is built
+    av_iter = DevicePrefetcher(iter_forever(av_loader),
+                               lambda b: to_device(b, mesh))
+    ao_iter = DevicePrefetcher(iter_forever(ao_loader),
+                               lambda b: to_device(b, mesh))
+
     steps: Dict[Tuple[bool, int], object] = {}
     iter_time, data_time = AverageMeter(), AverageMeter()
-    best_holder = {"best_err": float("inf")}
+    # best_err survives resume via the history json (main.py parity)
+    best_holder = {"best_err": float(history.get("best_err",
+                                                 float("inf")))}
 
     for i in range(start_i + 1, cfg.num_iters):
         tic = time.perf_counter()
@@ -221,8 +231,11 @@ def make_sop_eval_step(cfg, nets, use_vis: bool):
     harness' pattern, ``evaluate.make_eval_step``).
     """
     cache_key = (id(cfg), id(nets), use_vis)
-    if cache_key in _SOP_EVAL_CACHE:
-        return _SOP_EVAL_CACHE[cache_key]
+    hit = _SOP_EVAL_CACHE.get(cache_key)
+    # identity check: entries pin (cfg, nets) so ids stay valid, and a
+    # stale id-reuse collision can never return the wrong executable
+    if hit is not None and hit[0] is cfg and hit[1] is nets:
+        return hit[2]
 
     from avsep_tpu.ops.metrics import eval_metrics
     from avsep_tpu.ops.stft import istft, stft_magphase
@@ -248,7 +261,9 @@ def make_sop_eval_step(cfg, nets, use_vis: bool):
         m["err_ps"] = outputs["err_ps"]  # [B]
         return m
 
-    _SOP_EVAL_CACHE[cache_key] = eval_step
+    if len(_SOP_EVAL_CACHE) >= 8:
+        _SOP_EVAL_CACHE.clear()  # bound memory in config-sweep processes
+    _SOP_EVAL_CACHE[cache_key] = (cfg, nets, eval_step)
     return eval_step
 
 

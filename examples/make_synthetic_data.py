@@ -49,9 +49,12 @@ def _frames(fdir: str, n_frames: int, rs, size) -> None:
     os.makedirs(fdir, exist_ok=True)
     h, w = size
     base = rs.randint(0, 200, (h, w, 3), np.uint8)
+    stripe_w = min(10, max(1, w // 2))
+    span = max(1, w - stripe_w)  # keep the moving stripe in-frame for any w
     for fi in range(n_frames):
         img = base.copy()
-        img[:, (fi * 5) % (w - 10): (fi * 5) % (w - 10) + 10] = 255
+        x0 = (fi * 5) % span
+        img[:, x0:x0 + stripe_w] = 255
         Image.fromarray(img).save(
             os.path.join(fdir, "{:06d}.jpg".format(fi)), quality=70)
 

@@ -101,6 +101,26 @@ def test_sample_contract(manifest):
     assert np.abs(s["audios"]).max() <= 0.5 + 1e-6
     # dc strategy: different classes
     assert s["infos"][0][-1] != s["infos"][1][-1]
+    # frames stay uint8 all the way to the device boundary: a float cast
+    # here would silently disable engine.normalize_frames' uint8 dispatch
+    # (ImageNet normalization would never run) AND quadruple wire bytes
+    assert s["frames"].dtype == np.uint8
+    assert s["frames"].max() > 1  # raw 0-255 pixels, not pre-normalized
+
+
+def test_frames_uint8_normalized_on_device(manifest):
+    """Dataset frames -> engine.normalize_frames equals the host-side
+    float normalize (reference dataset/base.py:99-110 semantics)."""
+    import jax.numpy as jnp
+    from avsep_tpu.engine import normalize_frames
+    from avsep_tpu.data.video_transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    cfg = make_cfg()
+    ds = MusicMixDataset(manifest, cfg, split="val")
+    raw = ds[0]["frames"]
+    on_device = np.asarray(normalize_frames(jnp.asarray(raw)))
+    host = (raw.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(on_device, host, atol=1e-6)
 
 
 def test_one_frame_mode(manifest):

@@ -71,9 +71,18 @@ def torch_eval_batch(tunet, ttrunk, tfc, audio_mix, audios, frames, cfg):
         # frame features, reference forward_av non-duet path
         # (inference.py:76-77): per-source encoder + img_activation
         N = frames.shape[1]
+        # uint8 wire-format frames -> ImageNet-normalized float, the same
+        # math engine.normalize_frames runs on device for the jax side
+        # (reference normalizes in dataset/base.py:99-110)
+        mean = torch.tensor([0.485, 0.456, 0.406])
+        std = torch.tensor([0.229, 0.224, 0.225])
         feats = []
         for n in range(N):
-            tf = torch.from_numpy(frames[:, n, 0]).permute(0, 3, 1, 2)
+            tf = torch.from_numpy(np.ascontiguousarray(frames[:, n, 0]))
+            if tf.dtype == torch.uint8:
+                tf = tf.float() / 255.0
+                tf = (tf - mean) / std
+            tf = tf.permute(0, 3, 1, 2)
             feats.append(torch.relu(tfc(ttrunk(tf))))
         out, _ = tunet(log_mag, feats)
         masks = torch.sigmoid(out)                       # B,N,256,T
