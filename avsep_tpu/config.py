@@ -125,11 +125,13 @@ class Config:
     remat: bool = False              # rematerialize net forwards in backward
     use_pallas: bool = False         # fused Pallas STFT/iSTFT kernels
     # Fuse the AV symmetric double pass (reference main.py:129+141 runs the
-    # full U-Net twice on the same audio) into ONE doubled-batch forward —
-    # ~2x fewer launches and weight reads for the AV step.  EXACT in eval
-    # mode (running-average BN); in train mode the decoder BatchNorms see
-    # combined 2B statistics instead of per-pass B statistics, so training
-    # dynamics differ slightly — off by default for strict parity.
+    # full U-Net twice on the same audio) into ONE doubled-batch forward.
+    # EXACT in eval mode (running-average BN); in train mode the decoder
+    # BatchNorms see combined 2B statistics instead of per-pass B
+    # statistics, so training dynamics differ slightly.  Measured NO gain
+    # on v5e (train step: 33.2->33.5 steps/s at B=8, 113->117 ms at B=32 —
+    # XLA already overlaps the two passes); kept as an opt-in only for
+    # workloads where launch count dominates.  Off by default for parity.
     fused_av: bool = False
     # inference demo selector (python -m avsep_tpu.inference):
     #   vis       attention-overlay video on one duet clip (default)
