@@ -158,11 +158,16 @@ def main(cfg: Config):
             ao_count += 1
 
         if i % cfg.disp_iter == 0 and i != 0:
+            # the live (decayed) LRs — the optax schedule scales x0.1 past
+            # each lr_steps boundary (reference prints the mutated args
+            # values, main.py:551-555 + :726-737)
+            decay = 0.1 ** sum(i > s for s in cfg.lr_steps)
             print("iter: [{}/{}], Time: {:.2f}, Data: {:.2f}, "
                   "lr_sound: {}, lr_frame: {}, loss: {:.3f}, "
                   "loss_ao: {:.3f}, loss_av: {:.3f} loss_match {:.3f}"
                   .format(i, cfg.num_iters, iter_time.average(),
-                          data_time.average(), cfg.lr_sound, cfg.lr_frame,
+                          data_time.average(), cfg.lr_sound * decay,
+                          cfg.lr_frame * decay,
                           err_total / cfg.disp_iter,
                           err_ao / ao_count if ao_count else 0.0,
                           err_av / av_count if av_count else 0.0,
