@@ -57,6 +57,20 @@ def build_nets(cfg: Config) -> Nets:
 # ------------------------------------------------------------------ helpers
 
 
+def audio_mix_of(batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Mixture waveform: shipped, or reconstructed on device.
+
+    The host mixes with ``np.sum`` over the N (=2) per-source waveforms
+    already scaled by 1/N (dataset/music.py:120,127 semantics), so
+    summing ``audios`` on device is bit-equal in float32 — the loaders
+    drop ``audio_mix`` from the device dict to cut ~24% of the
+    host->device bytes (the wire is the in-situ bottleneck on tunneled
+    chips, BENCH_NOTES.md)."""
+    if "audio_mix" in batch:
+        return batch["audio_mix"]
+    return jnp.sum(batch["audios"], axis=1)
+
+
 def batch_spectrograms(batch: Dict[str, jnp.ndarray], cfg: Config):
     """Magnitudes from waveforms on device, or pass through precomputed.
 
@@ -66,7 +80,7 @@ def batch_spectrograms(batch: Dict[str, jnp.ndarray], cfg: Config):
     """
     if "mag_mix" in batch:
         return batch["mag_mix"], batch["mags"]
-    mag_mix, _ = stft_magphase(batch["audio_mix"], cfg.stft_frame,
+    mag_mix, _ = stft_magphase(audio_mix_of(batch), cfg.stft_frame,
                                cfg.stft_hop, use_pallas=cfg.use_pallas)
     mags, _ = stft_magphase(batch["audios"], cfg.stft_frame, cfg.stft_hop,
                             use_pallas=cfg.use_pallas)

@@ -22,7 +22,7 @@ import numpy as np
 from avsep_tpu.config import Config
 from avsep_tpu.data.audio_io import write_wav
 from avsep_tpu.data.video_transforms import denormalize
-from avsep_tpu.engine import Nets, forward
+from avsep_tpu.engine import Nets, audio_mix_of, forward
 from avsep_tpu.ops.metrics import eval_metrics
 from avsep_tpu.ops.stft import istft, stft_magphase
 from avsep_tpu.ops.warp import unwarp_mask
@@ -54,7 +54,7 @@ def make_eval_step(cfg: Config, nets: Nets, use_vis: bool):
     def step(params, batch_stats, batch, rng):
         err, (_, outputs) = forward(nets, params, batch_stats, batch, cfg,
                                     rng, use_vis, train=False)
-        mag_mix, phase_mix = stft_magphase(batch["audio_mix"],
+        mag_mix, phase_mix = stft_magphase(audio_mix_of(batch),
                                            cfg.stft_frame, cfg.stft_hop,
                                            use_pallas=cfg.use_pallas)
         pred = outputs["pred_masks"]                       # [B, N, FO, T]
@@ -131,7 +131,8 @@ def evaluate(cfg: Config, nets: Nets, params, batch_stats, loader, history,
         pad_to = pad_state["pad_to"]
         dev_batch = {}
         for k, v in batch.items():
-            if not isinstance(v, np.ndarray):
+            # audio_mix is rebuilt on device (engine.audio_mix_of)
+            if not isinstance(v, np.ndarray) or k == "audio_mix":
                 continue
             if v.shape[0] < pad_to:  # pad ragged batch (static jit shapes);
                 # padded rows are dropped from the meters below

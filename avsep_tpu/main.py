@@ -61,8 +61,11 @@ def build_loaders(cfg: Config, val_only: bool = False):
 
 
 def to_device(batch, mesh):
+    # audio_mix never crosses the wire: it is the exact f32 sum of the
+    # per-source waveforms and is rebuilt on device
+    # (engine.audio_mix_of) — ~24% fewer host->device bytes per batch
     dev = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)
-           and v.dtype != object and k != "class"}
+           and v.dtype != object and k not in ("class", "audio_mix")}
     return shard_batch(dev, mesh)
 
 

@@ -245,7 +245,8 @@ def make_sop_eval_step(cfg, nets, use_vis: bool):
     def eval_step(params, batch_stats, dev, sub):
         err, (_, outputs) = sop_forward(nets, params, batch_stats, dev,
                                         cfg, sub, use_vis, False, 3)
-        mag_mix, phase_mix = stft_magphase(dev["audio_mix"], cfg.stft_frame,
+        from avsep_tpu.engine import audio_mix_of
+        mag_mix, phase_mix = stft_magphase(audio_mix_of(dev), cfg.stft_frame,
                                            cfg.stft_hop,
                                            use_pallas=cfg.use_pallas)
         pred = outputs["pred_masks"]
@@ -296,7 +297,8 @@ def _sop_evaluate(cfg, nets, state, loader, history, itera, mesh=None):
                 pad_to = -(-true_bs // n_shard) * n_shard
             dev = {}
             for k, v in batch.items():
-                if not isinstance(v, np.ndarray):
+                # audio_mix is rebuilt on device (engine.audio_mix_of)
+                if not isinstance(v, np.ndarray) or k == "audio_mix":
                     continue
                 if v.shape[0] < pad_to:  # pad ragged batch; padded rows
                     # are trimmed from the meters below

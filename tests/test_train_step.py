@@ -325,3 +325,26 @@ def test_uint8_wire_frames_match_float(setup):
     np.testing.assert_allclose(np.asarray(out_f["pred_masks"]),
                                np.asarray(out_u["pred_masks"]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_device_rebuilt_audio_mix_bit_equal(setup):
+    """Dropping audio_mix from the device batch (to_device wire cut) is
+    BIT-exact: the on-device sum of the 1/N-scaled sources equals the
+    host np.sum mixture, so losses and masks match exactly."""
+    cfg, nets, state = setup
+    batch = tiny_batch(cfg)
+    mix = np.sum(np.asarray(batch["audios"]), axis=1)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.sum(jnp.asarray(batch["audios"]), axis=1)), mix)
+
+    with_mix = {**batch, "audio_mix": jnp.asarray(mix)}
+    without = {k: v for k, v in with_mix.items() if k != "audio_mix"}
+    err_w, (_, out_w) = forward(nets, state.params, state.batch_stats,
+                                with_mix, cfg, jax.random.PRNGKey(5),
+                                use_vis=True, train=False)
+    err_o, (_, out_o) = forward(nets, state.params, state.batch_stats,
+                                without, cfg, jax.random.PRNGKey(5),
+                                use_vis=True, train=False)
+    assert float(err_w) == float(err_o)
+    np.testing.assert_array_equal(np.asarray(out_w["pred_masks"]),
+                                  np.asarray(out_o["pred_masks"]))
