@@ -253,9 +253,13 @@ def _forward_av_fused(nets: Nets, params, batch_stats, prep, feats, fstats,
 
     The reference runs the full U-Net twice on the same log-magnitude with
     the visual order reversed then forward (main.py:129,141).  Stacking the
-    two passes on the batch axis gives identical per-sample outputs AND
-    identical train-mode batch statistics (duplicated rows leave mean/var
-    unchanged), at roughly half the launch/weight-traffic cost.
+    two passes on the batch axis gives identical per-sample outputs in
+    EVAL mode (running-average BN).  In TRAIN mode it is NOT exact: past
+    the fusion point the two halves carry different visual features, so
+    decoder BatchNorms see combined 2B statistics instead of the
+    reference's per-pass B statistics (see the ``fused_av`` comment in
+    config.py).  Measured to save nothing on v5e (BENCH_NOTES.md) — XLA
+    already overlaps the two passes.
 
     match loss: the fusion's score mean over 2B equals (match1+match2)/2;
     the reference sums the two per-pass means, so we scale by 2.

@@ -23,6 +23,7 @@ from avsep_tpu.config import Config
 from avsep_tpu.data.audio_io import write_wav
 from avsep_tpu.data.video_transforms import denormalize
 from avsep_tpu.engine import Nets, audio_mix_of, forward
+from avsep_tpu.utils.jit_cache import JitStepCache
 from avsep_tpu.ops.metrics import eval_metrics
 from avsep_tpu.ops.stft import istft, stft_magphase
 from avsep_tpu.ops.warp import unwarp_mask
@@ -32,23 +33,19 @@ from avsep_tpu.utils.meters import AverageMeter
 from avsep_tpu.utils.viz import plot_loss_metrics
 
 
-# (cfg, nets, branch) -> jitted step.  jax.jit caches by function object,
-# so building a fresh closure per evaluate() call would retrace AND
-# recompile the full forward+BSS program (20-40 s on TPU) at every in-
-# training eval.  Entries store (cfg, nets, step): the identity check makes
-# id()-key collisions harmless and the pinned references keep ids stable.
-_EVAL_STEP_CACHE: dict = {}
-_EVAL_STEP_CACHE_CAP = 8
+_EVAL_STEPS = JitStepCache()
 
 
 def make_eval_step(cfg: Config, nets: Nets, use_vis: bool):
     """One jitted program: forward -> unwarp -> threshold -> iSTFT ->
     BSS metrics (reference main.py:444-451 + calc_metrics :197-286).
-    Cached per (cfg, nets, branch) so repeated evals reuse the executable."""
-    key = (id(cfg), id(nets), use_vis)
-    hit = _EVAL_STEP_CACHE.get(key)
-    if hit is not None and hit[0] is cfg and hit[1] is nets:
-        return hit[2]
+    Cached per (cfg, nets, branch) — see ``utils.jit_cache`` — so repeated
+    in-training evals reuse the compiled executable."""
+    return _EVAL_STEPS.get_or_build(
+        (cfg, nets), use_vis, lambda: _build_eval_step(cfg, nets, use_vis))
+
+
+def _build_eval_step(cfg: Config, nets: Nets, use_vis: bool):
 
     @jax.jit
     def step(params, batch_stats, batch, rng):
@@ -85,9 +82,6 @@ def make_eval_step(cfg: Config, nets: Nets, use_vis: bool):
         metrics["match_ps"] = outputs["match_ps"]    # [B] per-sample match
         return metrics, outputs, preds_wav
 
-    if len(_EVAL_STEP_CACHE) >= _EVAL_STEP_CACHE_CAP:
-        _EVAL_STEP_CACHE.clear()   # bound memory in config-sweep processes
-    _EVAL_STEP_CACHE[key] = (cfg, nets, step)
     return step
 
 

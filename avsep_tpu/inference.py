@@ -236,7 +236,16 @@ def pixelwise_demo(cfg: Config, duet_info, save_folder: str) -> None:
     ckpt_dir = os.path.join(cfg.ckpt, cfg.id)
     if cfg.load_ckpt or os.path.isdir(os.path.join(ckpt_dir, "state_best")):
         from avsep_tpu.checkpoint import restore_checkpoint
-        state = restore_checkpoint(ckpt_dir, state, "best")
+        try:
+            state = restore_checkpoint(ckpt_dir, state, "best")
+        except Exception:
+            # training interrupted before any eval promoted a best —
+            # fall back like main.py's eval path (main.py:103-110)
+            try:
+                state = restore_checkpoint(ckpt_dir, state, "latest")
+            except Exception:
+                print("WARNING: no checkpoint found; pixelwise demo will "
+                      "use random-init params")
     params, stats = state.params, state.batch_stats
 
     a_path, fdir, num_f, fps, a_len = duet_info[:5]

@@ -28,6 +28,7 @@ from avsep_tpu.models.resnet import FrameEncoder
 from avsep_tpu.models.sop import BasisUnet
 from avsep_tpu.models.synthesizer import Bias, InnerProd
 from avsep_tpu.parallel.mesh import make_mesh, shard_tree
+from avsep_tpu.utils.jit_cache import JitStepCache
 from avsep_tpu.sop_engine import SopNets, sop_forward, stage_for_iter
 from avsep_tpu.train import TrainState, _lr_schedule, batch_scheduler
 from avsep_tpu.utils.meters import AverageMeter, new_history
@@ -219,24 +220,20 @@ def main(cfg: Config):
     print("Training Done!")
 
 
-_SOP_EVAL_CACHE: Dict[Tuple[int, int, bool], object] = {}
+_SOP_EVAL_STEPS = JitStepCache()
 
 
 def make_sop_eval_step(cfg, nets, use_vis: bool):
     """One jitted program: forward -> unwarp -> iSTFT -> BSS metrics.
-
-    Cached per (cfg, nets, branch) at module level so repeated
+    Cached per (cfg, nets, branch) — see ``utils.jit_cache`` — so repeated
     ``_sop_evaluate`` calls inside the train loop reuse the compiled
-    executable instead of retracing a fresh closure each eval (the main
-    harness' pattern, ``evaluate.make_eval_step``).
-    """
-    cache_key = (id(cfg), id(nets), use_vis)
-    hit = _SOP_EVAL_CACHE.get(cache_key)
-    # identity check: entries pin (cfg, nets) so ids stay valid, and a
-    # stale id-reuse collision can never return the wrong executable
-    if hit is not None and hit[0] is cfg and hit[1] is nets:
-        return hit[2]
+    executable (same cache as ``evaluate.make_eval_step``)."""
+    return _SOP_EVAL_STEPS.get_or_build(
+        (cfg, nets), use_vis,
+        lambda: _build_sop_eval_step(cfg, nets, use_vis))
 
+
+def _build_sop_eval_step(cfg, nets, use_vis: bool):
     from avsep_tpu.ops.metrics import eval_metrics
     from avsep_tpu.ops.stft import istft, stft_magphase
     from avsep_tpu.ops.warp import unwarp_mask
@@ -262,9 +259,6 @@ def make_sop_eval_step(cfg, nets, use_vis: bool):
         m["err_ps"] = outputs["err_ps"]  # [B]
         return m
 
-    if len(_SOP_EVAL_CACHE) >= 8:
-        _SOP_EVAL_CACHE.clear()  # bound memory in config-sweep processes
-    _SOP_EVAL_CACHE[cache_key] = (cfg, nets, eval_step)
     return eval_step
 
 

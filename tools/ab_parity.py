@@ -73,9 +73,12 @@ def torch_eval_batch(tunet, ttrunk, tfc, audio_mix, audios, frames, cfg):
         N = frames.shape[1]
         # uint8 wire-format frames -> ImageNet-normalized float, the same
         # math engine.normalize_frames runs on device for the jax side
-        # (reference normalizes in dataset/base.py:99-110)
-        mean = torch.tensor([0.485, 0.456, 0.406])
-        std = torch.tensor([0.229, 0.224, 0.225])
+        # (reference normalizes in dataset/base.py:99-110); constants from
+        # the canonical source so the two sides can never diverge
+        from avsep_tpu.data.video_transforms import (
+            IMAGENET_MEAN, IMAGENET_STD)
+        mean = torch.from_numpy(IMAGENET_MEAN)
+        std = torch.from_numpy(IMAGENET_STD)
         feats = []
         for n in range(N):
             tf = torch.from_numpy(np.ascontiguousarray(frames[:, n, 0]))
