@@ -31,12 +31,24 @@ def read_wav(path: str, offset_sec: float = 0.0,
         if probe is not None:
             sr = probe[1]
             start = max(0, int(offset_sec * sr))
-            count = (2 ** 62 if duration_sec is None
-                     else int(duration_sec * sr))
-            got = native.wav_read_crop(path, start,
-                                       min(count, 2 ** 31))
-            if got is not None:
-                return got[0], sr
+            count = None
+            if duration_sec is None:
+                # full-file read: size the buffer from the header instead
+                # of a 2^31-element (8.6 GB) worst-case allocation — the
+                # stdlib wave module parses only the header here
+                import wave as _wave
+                try:
+                    with _wave.open(path, "rb") as _w:
+                        count = max(_w.getnframes() - start, 0)
+                except Exception:
+                    pass  # odd header: let the stdlib fallback below raise
+            else:
+                count = int(duration_sec * sr)
+            if count is not None:
+                got = native.wav_read_crop(path, start,
+                                           min(count, 2 ** 31))
+                if got is not None:
+                    return got[0], sr
     import wave
 
     with wave.open(path, "rb") as w:

@@ -154,21 +154,28 @@ class MusicMixDataset:
 
     def frame_paths(self, info, center_t: float, rng: random.Random
                     ) -> List[str]:
-        """Center-frame index arithmetic (reference dataset/music.py:132-156)."""
+        """Center-frame index arithmetic (reference dataset/music.py:132-156).
+
+        Indices are clamped to [0, num_frames-1] — the reference doesn't
+        clamp and crashes with FileNotFoundError on rows shorter than
+        2*margin + audSec (its get_audios fallback can place center_t
+        within stride of the clip edge); a clamped edge frame keeps a
+        long training run alive instead (same policy as the clips path).
+        """
         cfg = self.cfg
         _, fpath, num_f, fps = info[0], info[1], info[2], float(info[3])
+        last = max(int(float(num_f)) - 1, 0)
         center_idx = round(center_t * fps)
-        paths = []
+        idxs = []
         if cfg.one_frame:
-            shift = rng.randint(-cfg.stride_frames, cfg.stride_frames)
-            paths.append(os.path.join(fpath,
-                                      "{:06d}.jpg".format(center_idx + shift)))
+            idxs.append(center_idx
+                        + rng.randint(-cfg.stride_frames, cfg.stride_frames))
         else:
-            for i in range(cfg.num_frames):
-                off = (i - cfg.num_frames // 2) * cfg.stride_frames
-                paths.append(os.path.join(
-                    fpath, "{:06d}.jpg".format(center_idx + off)))
-        return paths
+            idxs = [center_idx + (i - cfg.num_frames // 2) * cfg.stride_frames
+                    for i in range(cfg.num_frames)]
+        return [os.path.join(fpath,
+                             "{:06d}.jpg".format(min(max(i, 0), last)))
+                for i in idxs]
 
     def get_frames(self, infos, center_times, rng: random.Random):
         cfg = self.cfg

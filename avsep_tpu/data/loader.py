@@ -82,6 +82,20 @@ class BatchLoader:
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        err_holder = [None]
+
+        def _put(item) -> bool:
+            # bounded put that notices an abandoned consumer: a consumer
+            # that breaks mid-epoch sets `stop`, and a plain q.put would
+            # park this thread forever on the full queue (leaking it plus
+            # `prefetch` batches for the process lifetime)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
@@ -90,9 +104,14 @@ class BatchLoader:
                         return
                     futures = [pool.submit(self.dataset.__getitem__, int(i))
                                for i in b]
-                    q.put(collate([f.result() for f in futures]))
+                    if not _put(collate([f.result() for f in futures])):
+                        return
+            except Exception as e:
+                # surface dataset errors in the consumer thread — swallowing
+                # them here would look like a normal (truncated) epoch end
+                err_holder[0] = e
             finally:
-                q.put(None)
+                _put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -100,6 +119,8 @@ class BatchLoader:
             while True:
                 item = q.get()
                 if item is None:
+                    if err_holder[0] is not None:
+                        raise err_holder[0]
                     break
                 yield item
         finally:

@@ -28,6 +28,9 @@ from avsep_tpu.config import Config, parse_args
 from avsep_tpu.data.audio_io import read_wav, resample, write_wav
 from avsep_tpu.data.video_transforms import val_transform
 from avsep_tpu.engine import Nets, build_nets, separate
+from avsep_tpu.utils.jit_cache import JitStepCache
+
+_SEPARATE_STEPS = JitStepCache()
 from avsep_tpu.utils.media import (
     combine_video_audio, magnitude2heatmap, makedirs, save_video)
 
@@ -97,13 +100,16 @@ def vis_video(cfg: Config, nets: Nets, params, batch_stats, duet_info,
     frames_arr = jnp.asarray(np.stack(frames)[:, None, None])  # [T,1,1,H,W,3]
 
     # jit the whole pipeline (eager complex ops are unsupported on some
-    # TPU runtimes; under jit XLA compiles them fine)
-    @jax.jit
-    def run(a, f):
-        return separate(nets, params, batch_stats, a,
-                        f if use_vis else None, cfg,
-                        rng=jax.random.PRNGKey(0))
-    out = jax.device_get(run(audio_mix, frames_arr))
+    # TPU runtimes; under jit XLA compiles them fine).  The jitted fn is
+    # cached per (cfg, nets, use_vis) — duet_sweep calls vis_video per
+    # manifest row, and a fresh closure per row would recompile the whole
+    # program every time; params pass as arguments, not baked constants.
+    run = _SEPARATE_STEPS.get_or_build(
+        (cfg, nets), use_vis, lambda: jax.jit(
+            lambda params, batch_stats, a, f: separate(
+                nets, params, batch_stats, a, f if use_vis else None, cfg,
+                rng=jax.random.PRNGKey(0))))
+    out = jax.device_get(run(params, batch_stats, audio_mix, frames_arr))
 
     makedirs(save_folder, remove=False)
     mid = T // 2

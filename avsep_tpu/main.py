@@ -60,12 +60,16 @@ def build_loaders(cfg: Config, val_only: bool = False):
     return mk(av_ds, True), mk(ao_ds, True), val_loader
 
 
-def to_device(batch, mesh):
+def to_device(batch, mesh, drop=()):
     # audio_mix never crosses the wire: it is the exact f32 sum of the
     # per-source waveforms and is rebuilt on device
-    # (engine.audio_mix_of) — ~24% fewer host->device bytes per batch
+    # (engine.audio_mix_of) — ~24% fewer host->device bytes per batch.
+    # `drop` trims branch-unused tensors (the AO iterators drop frames:
+    # forward_ao / the SoP AO stage never read them, and the wire is the
+    # in-situ bottleneck on tunneled chips, BENCH_NOTES.md)
+    skip = ("class", "audio_mix") + tuple(drop)
     dev = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)
-           and v.dtype != object and k not in ("class", "audio_mix")}
+           and v.dtype != object and k not in skip}
     return shard_batch(dev, mesh)
 
 
@@ -119,7 +123,8 @@ def main(cfg: Config):
     av_iter = DevicePrefetcher(iter_forever(av_loader),
                                lambda b: to_device(b, mesh))
     ao_iter = DevicePrefetcher(iter_forever(ao_loader),
-                               lambda b: to_device(b, mesh))
+                               lambda b: to_device(b, mesh,
+                                                   drop=("frames", "clips")))
 
     iter_time, data_time = AverageMeter(), AverageMeter()
     match_meter = AverageMeter()

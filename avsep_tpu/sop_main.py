@@ -134,15 +134,6 @@ def make_sop_train_step(cfg: Config, nets: SopNets, use_vis: bool,
     return step
 
 
-def make_sop_eval(cfg: Config, nets: SopNets, use_vis: bool):
-    @jax.jit
-    def fwd(params, batch_stats, batch, rng):
-        err, (_, outputs) = sop_forward(nets, params, batch_stats, batch,
-                                        cfg, rng, use_vis, False, 3)
-        return err, outputs
-    return fwd
-
-
 def main(cfg: Config):
     print("Model ID: {}".format(cfg.id))
     cfg = cfg.replace(ckpt=os.path.join(cfg.ckpt, cfg.id))
@@ -169,6 +160,14 @@ def main(cfg: Config):
         cfg, val_only=cfg.mode == "eval")
 
     if cfg.mode == "eval":
+        if not cfg.load_ckpt:
+            # restore the best checkpoint like main.py's eval path
+            # (reference loads *_best.pth, main.py:789-793)
+            try:
+                state = restore_checkpoint(cfg.ckpt, state, "best")
+            except Exception:
+                print("WARNING: no best checkpoint found; evaluating "
+                      "current params")
         _sop_evaluate(cfg, nets, state, val_loader, history, 0, mesh=mesh)
         print("Evaluation Done!")
         return
@@ -180,7 +179,8 @@ def main(cfg: Config):
     av_iter = DevicePrefetcher(iter_forever(av_loader),
                                lambda b: to_device(b, mesh))
     ao_iter = DevicePrefetcher(iter_forever(ao_loader),
-                               lambda b: to_device(b, mesh))
+                               lambda b: to_device(b, mesh,
+                                                   drop=("frames", "clips")))
 
     steps: Dict[Tuple[bool, int], object] = {}
     iter_time, data_time = AverageMeter(), AverageMeter()
@@ -255,6 +255,12 @@ def _build_sop_eval_step(cfg, nets, use_vis: bool):
             jnp.exp(1j * phase_mix[:, None].astype(jnp.complex64))
         wavs = jnp.clip(istft(spec, cfg.stft_hop,
                               use_pallas=cfg.use_pallas), -1, 1)
+        # all-zero predictions -> noise floor so a dead mask scores a
+        # large negative SDR instead of a spurious 0 dB (main harness /
+        # reference main.py:248-249 parity)
+        allzero = jnp.all(wavs == 0, axis=-1, keepdims=True)
+        wavs = jnp.where(allzero,
+                         0.01 * jax.random.uniform(sub, wavs.shape), wavs)
         m = eval_metrics(dev["audios"][..., :wavs.shape[-1]], wavs)
         m["err_ps"] = outputs["err_ps"]  # [B]
         return m

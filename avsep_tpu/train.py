@@ -151,19 +151,6 @@ def make_train_step(cfg: Config, nets: Nets, use_vis: bool):
     return step
 
 
-def make_eval_forward(cfg: Config, nets: Nets, use_vis: bool):
-    """Jitted eval forward returning (err, outputs) (reference
-    evaluate(), main.py:443-445)."""
-
-    @jax.jit
-    def fwd(params, batch_stats, batch, rng):
-        err, (_, outputs) = forward(nets, params, batch_stats, batch, cfg,
-                                    rng, use_vis, train=False)
-        return err, outputs
-
-    return fwd
-
-
 def batch_scheduler(cfg: Config):
     """use_vis decision per iteration (reference get_av_ao_batch,
     main.py:572-601): AV every ``iter_per_av`` iters, with the

@@ -219,6 +219,45 @@ def test_process_loader_matches_thread_loader(manifest):
         np.testing.assert_array_equal(a["frames"], b["frames"])
 
 
+def test_thread_loader_propagates_dataset_errors():
+    """A dataset error must surface in the consumer, not silently end the
+    epoch (a swallowed error would truncate eval sweeps unnoticed)."""
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise ValueError("corrupt sample")
+            return {"x": np.zeros(3, np.float32)}
+
+    loader = BatchLoader(Bad(), batch_size=2, shuffle=False, num_workers=2)
+    with pytest.raises(ValueError, match="corrupt sample"):
+        for _ in loader:
+            pass
+
+
+def test_thread_loader_abandoned_consumer_unblocks_producer(manifest):
+    """Breaking out of an epoch mid-way must not leave the producer thread
+    parked forever in q.put (a leak per abandoned epoch)."""
+    import threading
+
+    cfg = make_cfg()
+    ds = MusicMixDataset(manifest, cfg, split="val")
+    loader = BatchLoader(ds, batch_size=2, shuffle=False, num_workers=2,
+                         prefetch=1)
+    before = threading.active_count()
+    for _ in range(3):
+        for batch in loader:
+            break  # abandon immediately
+    # producers notice the stop flag within their 0.1 s put timeout
+    import time
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.1)
+    assert threading.active_count() <= before + 1
+
+
 def test_device_prefetcher_order_and_exhaustion(manifest):
     from avsep_tpu.data.loader import DevicePrefetcher
 

@@ -18,7 +18,7 @@ from avsep_tpu.models.resnet import FrameEncoder
 from avsep_tpu.models.unet import AudioUnet
 from avsep_tpu.parallel.mesh import make_mesh, shard_batch, shard_tree
 from avsep_tpu.train import (
-    TrainState, batch_scheduler, init_state, make_eval_forward,
+    TrainState, batch_scheduler, init_state,
     make_optimizer, make_train_step)
 
 AUDLEN = 64 * 256 - 1  # -> 64 STFT frames
