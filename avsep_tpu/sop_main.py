@@ -153,7 +153,8 @@ def main(cfg: Config):
             history = h
             start_i = (history["train"]["iter"][-1]
                        if history["train"]["iter"] else 0)
-            state = restore_checkpoint(cfg.ckpt, state, "latest")
+            state = restore_checkpoint(cfg.ckpt, state, "latest",
+                                        mesh=mesh)
             print("Recovered from history.")
 
     av_loader, ao_loader, val_loader = build_loaders(
@@ -164,11 +165,16 @@ def main(cfg: Config):
             # restore the best checkpoint like main.py's eval path
             # (reference loads *_best.pth, main.py:789-793)
             try:
-                state = restore_checkpoint(cfg.ckpt, state, "best")
+                state = restore_checkpoint(cfg.ckpt, state, "best",
+                                            mesh=mesh)
             except Exception:
                 print("WARNING: no best checkpoint found; evaluating "
                       "current params")
-        _sop_evaluate(cfg, nets, state, val_loader, history, 0, mesh=mesh)
+        try:
+            _sop_evaluate(cfg, nets, state, val_loader, history, 0,
+                          mesh=mesh)
+        finally:
+            val_loader.close()  # reap worker processes
         print("Evaluation Done!")
         return
 
@@ -188,34 +194,41 @@ def main(cfg: Config):
     best_holder = {"best_err": float(history.get("best_err",
                                                  float("inf")))}
 
-    for i in range(start_i + 1, cfg.num_iters):
-        tic = time.perf_counter()
-        use_vis = use_vis_fn(i)
-        stage = stage_for_iter(i, cfg.train_steps) if use_vis else 0
-        batch = next(av_iter if use_vis else ao_iter)
-        data_time.update(time.perf_counter() - tic)
+    try:
+        for i in range(start_i + 1, cfg.num_iters):
+            tic = time.perf_counter()
+            use_vis = use_vis_fn(i)
+            stage = stage_for_iter(i, cfg.train_steps) if use_vis else 0
+            batch = next(av_iter if use_vis else ao_iter)
+            data_time.update(time.perf_counter() - tic)
 
-        key = (use_vis, stage)
-        if key not in steps:
-            steps[key] = make_sop_train_step(cfg, nets, use_vis, max(stage,
-                                                                     1))
-        rng, sub = jax.random.split(rng)
-        state, metrics = steps[key](state, batch, sub)
-        iter_time.update(time.perf_counter() - tic)
+            key = (use_vis, stage)
+            if key not in steps:
+                steps[key] = make_sop_train_step(cfg, nets, use_vis,
+                                                 max(stage, 1))
+            rng, sub = jax.random.split(rng)
+            state, metrics = steps[key](state, batch, sub)
+            iter_time.update(time.perf_counter() - tic)
 
-        if i % cfg.disp_iter == 0 and i != 0:
-            print("iter: [{}/{}], stage: {}, Time: {:.2f}, Data: {:.2f}, "
-                  "loss: {:.3f}".format(i, cfg.num_iters, stage,
-                                        iter_time.average(),
-                                        data_time.average(),
-                                        float(metrics["err"])))
-            history["train"]["iter"].append(i)
-            history["train"]["err"].append(float(metrics["err"]))
+            if i % cfg.disp_iter == 0 and i != 0:
+                print("iter: [{}/{}], stage: {}, Time: {:.2f}, "
+                      "Data: {:.2f}, loss: {:.3f}".format(
+                          i, cfg.num_iters, stage, iter_time.average(),
+                          data_time.average(), float(metrics["err"])))
+                history["train"]["iter"].append(i)
+                history["train"]["err"].append(float(metrics["err"]))
 
-        if i % cfg.eval_iter == 0 and i > 1:
-            _sop_evaluate(cfg, nets, state, val_loader, history, i,
-                          mesh=mesh)
-            checkpoint(cfg.ckpt, state, history, best_holder)
+            if i % cfg.eval_iter == 0 and i > 1:
+                _sop_evaluate(cfg, nets, state, val_loader, history, i,
+                              mesh=mesh)
+                checkpoint(cfg.ckpt, state, history, best_holder)
+    finally:
+        # release prefetch threads + loader worker processes (main.py
+        # parity; VERDICT r2 loader-lifecycle fix)
+        av_iter.close()
+        ao_iter.close()
+        for ld in (av_loader, ao_loader, val_loader):
+            ld.close()
 
     print("Training Done!")
 

@@ -44,7 +44,33 @@ def _tone(ci: int, vid: int, n: int, rs) -> np.ndarray:
             + 0.01 * rs.randn(n)).astype(np.float32)
 
 
-def _frames(fdir: str, n_frames: int, rs, size) -> None:
+# distinct saturated colors, one per class (class-token identity)
+TOKEN_PALETTE = [
+    (230, 25, 75), (60, 180, 75), (0, 130, 200), (255, 225, 25),
+    (145, 30, 180), (70, 240, 240), (240, 50, 230), (250, 190, 212),
+]
+
+
+def _draw_token(img: np.ndarray, ci: int, quadrant: int) -> None:
+    """Class-informative visual token: a class-colored square with
+    ``(ci % 4) + 1`` dark inner bars, centered in one image quadrant
+    (0=TL, 1=TR, 2=BL, 3=BR).  Gives the CoLoc fusion something a frame
+    encoder can actually localize — the default noise-texture frames carry
+    no class signal (VERDICT r2 missing #1)."""
+    h, w = img.shape[:2]
+    s = int(0.30 * min(h, w))
+    qy, qx = divmod(quadrant, 2)
+    cy, cx = h // 4 + qy * (h // 2), w // 4 + qx * (w // 2)
+    y0, x0 = cy - s // 2, cx - s // 2
+    img[y0:y0 + s, x0:x0 + s] = TOKEN_PALETTE[ci % len(TOKEN_PALETTE)]
+    nb = (ci % 4) + 1
+    bw = max(1, s // (2 * nb + 1))
+    for b in range(nb):
+        xb = x0 + (2 * b + 1) * bw
+        img[y0 + s // 4: y0 + 3 * s // 4, xb:xb + bw] = (0, 0, 0)
+
+
+def _frames(fdir: str, n_frames: int, rs, size, tokens=()) -> None:
     from PIL import Image
     os.makedirs(fdir, exist_ok=True)
     h, w = size
@@ -55,6 +81,8 @@ def _frames(fdir: str, n_frames: int, rs, size) -> None:
         img = base.copy()
         x0 = (fi * 5) % span
         img[:, x0:x0 + stripe_w] = 255
+        for ci, quadrant in tokens:  # tokens sit on top of the stripe
+            _draw_token(img, ci, quadrant)
         Image.fromarray(img).save(
             os.path.join(fdir, "{:06d}.jpg".format(fi)), quality=70)
 
@@ -76,12 +104,19 @@ def main():
                          "(reference layout only)")
     ap.add_argument("--img_size", type=int, nargs=2, default=[120, 160],
                     metavar=("H", "W"))
+    ap.add_argument("--class_tokens", action="store_true",
+                    help="draw a class-informative visual token (distinct "
+                         "color+glyph per class) at a per-video random "
+                         "quadrant, recorded in <root>/tokens.json — makes "
+                         "the frames carry real class signal so the CoLoc "
+                         "AV branch can learn from vision")
     args = ap.parse_args()
 
     rs = np.random.RandomState(0)
     n = int(SR * args.duration)
     n_frames = int(args.duration * args.fps) + 2
     rows = []
+    token_meta = {}
 
     for ci, cls in enumerate(args.classes):
         for vid in range(args.videos_per_class):
@@ -96,7 +131,13 @@ def main():
             os.makedirs(adir, exist_ok=True)
             apath = os.path.join(adir, f"v{ci}{vid}.wav")
             write_wav(apath, wav, SR)
-            _frames(fdir, n_frames, rs, args.img_size)
+            tokens = ()
+            if args.class_tokens:
+                q = int(rs.randint(4))
+                tokens = ((ci, q),)
+                token_meta[os.path.abspath(fdir)] = {
+                    "class": cls, "class_index": ci, "quadrant": q}
+            _frames(fdir, n_frames, rs, args.img_size, tokens)
             rows.append([apath, fdir, str(int(args.duration * args.fps)),
                          str(args.fps), str(args.duration), cls])
 
@@ -112,12 +153,25 @@ def main():
                                     f"d{ci}{vid}.mp4")
                 os.makedirs(adir, exist_ok=True)
                 write_wav(os.path.join(adir, f"d{ci}{vid}.wav"), wav, SR)
-                _frames(fdir, n_frames, rs, args.img_size)
+                tokens = ()
+                if args.class_tokens:
+                    qa = int(rs.randint(4))
+                    qb = (qa + 1 + int(rs.randint(3))) % 4  # distinct
+                    tokens = ((ci, qa), (ci + 1, qb))
+                    token_meta[os.path.abspath(fdir)] = {
+                        "class": pair, "class_index": [ci, ci + 1],
+                        "quadrant": [qa, qb]}
+                _frames(fdir, n_frames, rs, args.img_size, tokens)
 
     csv_path = os.path.join(args.root, "train.csv")
     with open(csv_path, "w") as f:
         for r in rows:
             f.write(",".join(r) + "\n")
+    if args.class_tokens:
+        import json
+        with open(os.path.join(args.root, "tokens.json"), "w") as f:
+            json.dump(token_meta, f, indent=1)
+        print(f"wrote token positions for {len(token_meta)} videos")
     print(f"wrote {len(rows)} rows to {csv_path}")
 
 

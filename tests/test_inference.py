@@ -81,6 +81,29 @@ def test_duet_sweep_all_rows(small_setup, manifest, tmp_path):  # noqa: F811
                                            "pred1.wav"))
 
 
+def test_duet_sweep_vis_rate(small_setup, manifest, tmp_path,  # noqa: F811
+                             monkeypatch):
+    """--duet_vis_rate r rate-limits the attention-mp4 dumps to the first
+    of every round(1/r) rows; wavs/masks are written for ALL rows (the
+    flag the reference scripts pass but never consume,
+    scripts/inference.sh:63)."""
+    import avsep_tpu.inference as inf
+    cfg, nets, state = small_setup
+    cfg = cfg.replace(duet_vis_rate=0.5)  # stride 2
+    rows = read_manifest(manifest)[:3]
+    rendered = []
+    monkeypatch.setattr(inf, "save_video",
+                        lambda path, *a, **k: rendered.append(path))
+    monkeypatch.setattr(inf, "combine_video_audio", lambda *a, **k: None)
+    inf.duet_sweep(cfg, nets, state.params, state.batch_stats, rows,
+                   str(tmp_path))
+    for i in range(3):  # audio artifacts for every row
+        assert os.path.exists(os.path.join(str(tmp_path), f"duet_{i}",
+                                           "pred1.wav"))
+    dirs = {os.path.basename(os.path.dirname(p)) for p in rendered}
+    assert dirs == {"duet_0", "duet_2"}  # mp4s only at the stride
+
+
 def test_pixelwise_sound_map(manifest, tmp_path):  # noqa: F811
     """pixelwise mode exercises InnerProd.forward_pixelwise end-to-end
     (reference synthesizer_net.py:29-38)."""

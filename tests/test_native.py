@@ -42,6 +42,94 @@ def test_wav_read_matches_python_path(built, tmp_path):
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+def test_wav_probe(built, tmp_path):
+    x = (np.sin(np.arange(SR) / 30.0) * 0.5).astype(np.float32)
+    p = str(tmp_path / "probe.wav")
+    write_wav(p, x, SR)
+    sr, frames = native.wav_probe(p)
+    assert sr == SR and frames == SR
+
+
+def _wav_bytes(n_frames=64, sr=SR, channels=1, bits=16, fmt=1):
+    """Hand-rolled RIFF container so each header field can be corrupted."""
+    import struct
+    payload = b"\x00" * (n_frames * channels * (bits // 8))
+    fmt_chunk = struct.pack("<HHIIHH", fmt, channels, sr,
+                            sr * channels * (bits // 8),
+                            channels * (bits // 8), bits)
+    body = (b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+@pytest.mark.parametrize("corrupt", [
+    "truncated_header",   # file ends inside the fmt chunk
+    "lying_data_size",    # data chunk claims 100x the real payload
+    "zero_channels",      # fmt says 0 channels (div-by-zero trap)
+    "zero_bits",          # fmt says 0 bits/sample
+    "bad_magic",          # not RIFF at all
+    "compressed_fmt",     # fmt tag 85 (mp3-in-wav): unsupported encoding
+])
+def test_wav_read_malformed(built, tmp_path, corrupt):
+    """Malformed RIFF files must yield a clean error (None from ctypes),
+    never uninitialized reads or crashes (VERDICT r2 weak #4).  The
+    reference delegates this robustness to libsndfile via librosa
+    (dataset/base.py:156-172)."""
+    import struct
+    raw = bytearray(_wav_bytes())
+    if corrupt == "truncated_header":
+        raw = raw[:20]  # cuts off mid-fmt
+    elif corrupt == "lying_data_size":
+        # data size field sits 4 bytes before the payload
+        data_pos = bytes(raw).index(b"data")
+        raw[data_pos + 4:data_pos + 8] = struct.pack("<I", 2 ** 24)
+    elif corrupt == "zero_channels":
+        fmt_pos = bytes(raw).index(b"fmt ")
+        raw[fmt_pos + 10:fmt_pos + 12] = struct.pack("<H", 0)
+    elif corrupt == "zero_bits":
+        fmt_pos = bytes(raw).index(b"fmt ")
+        raw[fmt_pos + 22:fmt_pos + 24] = struct.pack("<H", 0)
+    elif corrupt == "bad_magic":
+        raw[:4] = b"JUNK"
+    elif corrupt == "compressed_fmt":
+        fmt_pos = bytes(raw).index(b"fmt ")
+        raw[fmt_pos + 8:fmt_pos + 10] = struct.pack("<H", 85)
+    p = str(tmp_path / f"{corrupt}.wav")
+    with open(p, "wb") as f:
+        f.write(bytes(raw))
+
+    if corrupt == "lying_data_size":
+        # recoverable: reads are clamped to the real on-disk payload
+        got = native.wav_read_crop(p, 0, 10 ** 6)
+        assert got is not None and got[0].shape == (64,)
+        sr, frames = native.wav_probe(p)
+        assert frames == 64
+    else:
+        assert native.wav_probe(p) is None
+        assert native.wav_read_crop(p, 0, 64) is None
+
+
+def test_wav_float32_full_read(built, tmp_path):
+    """IEEE-float32 wavs (fmt=3) load through read_wav with
+    duration_sec=None — the stdlib `wave` module rejects them, so this
+    exercises the native probe path (ADVICE r2)."""
+    import struct
+    rs = np.random.RandomState(3)
+    x = (rs.randn(2048) * 0.1).astype(np.float32)
+    payload = x.tobytes()
+    fmt_chunk = struct.pack("<HHIIHH", 3, 1, SR, SR * 4, 4, 32)
+    body = (b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+    raw = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    p = str(tmp_path / "f32.wav")
+    with open(p, "wb") as f:
+        f.write(raw)
+    from avsep_tpu.data.audio_io import read_wav
+    out, sr = read_wav(p)  # duration_sec=None: full-file read
+    assert sr == SR
+    np.testing.assert_allclose(out, x, atol=1e-7)
+
+
 def test_silence_fraction(built):
     x = np.zeros(1000, np.float32)
     x[:100] = 0.5

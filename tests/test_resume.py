@@ -66,6 +66,62 @@ def test_resume_trajectory_identical(setup, tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def _leaves_equal(a, b):
+    for x, y in zip(jax.tree_util.tree_leaves(jax.device_get(a)),
+                    jax.tree_util.tree_leaves(jax.device_get(b))):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_mesh_checkpoint_roundtrip(setup, tmp_path):
+    """A TrainState saved from an 8-device mesh restores onto 1 device AND
+    onto a fresh 8-device mesh, with identical params/opt-state, and
+    training continues on the same trajectory either way (the standard
+    production wrinkle of the DataParallel->mesh migration, SURVEY.md §5;
+    VERDICT r2 missing #4)."""
+    from avsep_tpu.parallel.mesh import make_mesh, shard_batch, shard_tree
+
+    cfg, nets, state0 = setup
+    assert len(jax.devices()) >= 8  # conftest forces 8 virtual CPU devices
+    mesh8 = make_mesh(8)
+    mesh1 = make_mesh(1)
+    step = make_train_step(cfg, nets, use_vis=False)
+    batch = tiny_batch(cfg, B=8)  # divisible by both mesh widths
+    keys = [jax.random.PRNGKey(i) for i in range(3)]
+
+    # two sharded steps on the 8-device mesh, then save
+    s = shard_tree(clone(state0), mesh8)
+    b8 = shard_batch(dict(batch), mesh8)
+    for k in keys[:2]:
+        s, _ = step(s, b8, k)
+    save_checkpoint(str(tmp_path), s, new_history(), "latest")
+
+    template = jax.tree_util.tree_map(jnp.zeros_like, clone(state0))
+
+    # restore onto ONE device
+    r1 = restore_checkpoint(str(tmp_path), template, "latest", mesh=mesh1)
+    assert int(r1.step) == 2
+    _leaves_equal(s, r1)
+    b1 = shard_batch(dict(batch), mesh1)
+    r1_next, m1 = step(r1, b1, keys[2])
+
+    # restore onto a FRESH 8-device mesh
+    r8 = restore_checkpoint(str(tmp_path), template, "latest", mesh=mesh8)
+    _leaves_equal(s, r8)
+    for leaf in jax.tree_util.tree_leaves(
+            r8.params, is_leaf=lambda x: hasattr(x, "sharding")):
+        assert len(leaf.sharding.device_set) == 8  # actually replicated
+    r8_next, m8 = step(r8, b8, keys[2])
+
+    # same trajectory regardless of restore topology (cross-mesh-width
+    # reduction order differs, so tolerances match
+    # test_train_step_1_vs_8_device_equivalence)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(r1_next.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(r8_next.params))):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(float(m1["err"]), float(m8["err"]),
+                               rtol=1e-5)
+
+
 def test_best_err_persists_across_resume(setup, tmp_path):
     """A worse post-resume eval must NOT clobber the best checkpoint:
     best_err is persisted in the history json (improves on the reference,
