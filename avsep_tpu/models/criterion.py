@@ -30,10 +30,20 @@ import jax
 import jax.numpy as jnp
 
 _LOG_CLAMP = -100.0  # torch F.binary_cross_entropy clamps log() at -100
+# Gradient-safety epsilon.  torch clamps only the log VALUE; its backward is
+# (p-t)/max(p(1-p), 1e-12), finite but up to 1e12.  The jnp.maximum-clamp
+# formulation is worse: at p==0 exactly the VJP evaluates 0 * (1/0) = NaN,
+# which killed a toy training run the moment the sigmoid saturated in f32
+# (easy data -> logits beyond +-17 -> p exactly 0/1).  Clipping p into
+# [eps, 1-eps] keeps values bit-identical to torch for all p in that range
+# (the parity regime) and bounds the gradient at 1/eps instead of NaN/1e12.
+_BCE_EPS = 1e-7
 
 
 def bce_elementwise(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    """Unreduced binary cross entropy matching torch's log clamp."""
+    """Unreduced binary cross entropy matching torch's log clamp, with a
+    gradient-safe input clip (see ``_BCE_EPS``)."""
+    pred = jnp.clip(pred, _BCE_EPS, 1.0 - _BCE_EPS)
     logp = jnp.maximum(jnp.log(pred), _LOG_CLAMP)
     log1mp = jnp.maximum(jnp.log(1.0 - pred), _LOG_CLAMP)
     return -(target * logp + (1.0 - target) * log1mp)

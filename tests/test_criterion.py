@@ -32,6 +32,28 @@ def test_bce_matches_torch():
     assert abs(ours - ref) < 1e-6
 
 
+def test_bce_gradient_finite_at_saturation():
+    """d(bce)/d(pred) must stay finite at pred == 0/1 exactly.  The
+    log-value clamp alone leaves a 0 * inf = NaN in the maximum VJP the
+    moment a sigmoid saturates in f32 — which a converged easy dataset
+    reaches (observed: toy flagship run NaN'd at iter ~1700)."""
+    import jax
+
+    t = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+    p = jnp.asarray([0.0, 1.0, 1.0, 0.0])  # worst cases incl. exact-wrong
+    g = jax.grad(lambda p: weighted_loss(p, t, None, "bce"))(p)
+    assert np.all(np.isfinite(np.asarray(g)))
+    # and the loss value still matches torch in the parity regime
+    rs = np.random.RandomState(3)
+    pr = rs.rand(64).astype(np.float32).clip(1e-6, 1 - 1e-6)
+    tr = (rs.rand(64) > 0.5).astype(np.float32)
+    ref = TF.binary_cross_entropy(torch.from_numpy(pr),
+                                  torch.from_numpy(tr)).item()
+    ours = float(weighted_loss(jnp.asarray(pr), jnp.asarray(tr), None,
+                               "bce"))
+    assert abs(ours - ref) < 1e-6
+
+
 def test_multi_source_matches_reference_baseloss(ref):
     rs = np.random.RandomState(1)
     preds = [torch.rand(2, 1, 8, 8) for _ in range(2)]
