@@ -51,14 +51,17 @@ TOKEN_PALETTE = [
 ]
 
 
-def _draw_token(img: np.ndarray, ci: int, quadrant: int) -> None:
+def _draw_token(img: np.ndarray, ci: int, quadrant: int,
+                scale: float = 0.30) -> None:
     """Class-informative visual token: a class-colored square with
     ``(ci % 4) + 1`` dark inner bars, centered in one image quadrant
     (0=TL, 1=TR, 2=BL, 3=BR).  Gives the CoLoc fusion something a frame
     encoder can actually localize — the default noise-texture frames carry
-    no class signal (VERDICT r2 missing #1)."""
+    no class signal (VERDICT r2 missing #1).  ``scale`` is the token edge
+    as a fraction of the short image side (capped so the token stays
+    inside its quadrant)."""
     h, w = img.shape[:2]
-    s = int(0.30 * min(h, w))
+    s = int(min(scale, 0.5) * min(h, w))
     qy, qx = divmod(quadrant, 2)
     cy, cx = h // 4 + qy * (h // 2), w // 4 + qx * (w // 2)
     y0, x0 = cy - s // 2, cx - s // 2
@@ -70,11 +73,18 @@ def _draw_token(img: np.ndarray, ci: int, quadrant: int) -> None:
         img[y0 + s // 4: y0 + 3 * s // 4, xb:xb + bw] = (0, 0, 0)
 
 
-def _frames(fdir: str, n_frames: int, rs, size, tokens=()) -> None:
+def _frames(fdir: str, n_frames: int, rs, size, tokens=(),
+            shared_background: bool = False,
+            token_scale: float = 0.30) -> None:
     from PIL import Image
     os.makedirs(fdir, exist_ok=True)
     h, w = size
-    base = rs.randint(0, 200, (h, w, 3), np.uint8)
+    # shared_background: one noise texture for EVERY video, so a class
+    # token (if any) is the only video-distinguishing visual content —
+    # otherwise a small encoder can pass train-set checks by memorizing
+    # each video's unique background instead of reading the token
+    bg_rs = np.random.RandomState(12345) if shared_background else rs
+    base = bg_rs.randint(0, 200, (h, w, 3), np.uint8)
     stripe_w = min(10, max(1, w // 2))
     span = max(1, w - stripe_w)  # keep the moving stripe in-frame for any w
     for fi in range(n_frames):
@@ -82,7 +92,7 @@ def _frames(fdir: str, n_frames: int, rs, size, tokens=()) -> None:
         x0 = (fi * 5) % span
         img[:, x0:x0 + stripe_w] = 255
         for ci, quadrant in tokens:  # tokens sit on top of the stripe
-            _draw_token(img, ci, quadrant)
+            _draw_token(img, ci, quadrant, token_scale)
         Image.fromarray(img).save(
             os.path.join(fdir, "{:06d}.jpg".format(fi)), quality=70)
 
@@ -104,6 +114,16 @@ def main():
                          "(reference layout only)")
     ap.add_argument("--img_size", type=int, nargs=2, default=[120, 160],
                     metavar=("H", "W"))
+    ap.add_argument("--shared_background", action="store_true",
+                    help="every video shares ONE background texture, so "
+                         "class tokens are the only distinguishing visual "
+                         "content (held-out generalization can't be faked "
+                         "by background memorization)")
+    ap.add_argument("--token_scale", type=float, default=0.30,
+                    help="class-token edge as a fraction of the short "
+                         "image side (<=0.5 keeps it inside its quadrant); "
+                         "larger tokens make the visual task easier for "
+                         "small encoders at small resolutions")
     ap.add_argument("--class_tokens", action="store_true",
                     help="draw a class-informative visual token (distinct "
                          "color+glyph per class) at a per-video random "
@@ -137,7 +157,8 @@ def main():
                 tokens = ((ci, q),)
                 token_meta[os.path.abspath(fdir)] = {
                     "class": cls, "class_index": ci, "quadrant": q}
-            _frames(fdir, n_frames, rs, args.img_size, tokens)
+            _frames(fdir, n_frames, rs, args.img_size, tokens,
+                    args.shared_background, args.token_scale)
             rows.append([apath, fdir, str(int(args.duration * args.fps)),
                          str(args.fps), str(args.duration), cls])
 
@@ -161,7 +182,8 @@ def main():
                     token_meta[os.path.abspath(fdir)] = {
                         "class": pair, "class_index": [ci, ci + 1],
                         "quadrant": [qa, qb]}
-                _frames(fdir, n_frames, rs, args.img_size, tokens)
+                _frames(fdir, n_frames, rs, args.img_size, tokens,
+                        args.shared_background, args.token_scale)
 
     csv_path = os.path.join(args.root, "train.csv")
     with open(csv_path, "w") as f:

@@ -98,21 +98,32 @@ def run_probe(cfg, tokens_json: str):
         att = out["att_maps"]                            # [B, C, h, w]
         B, C, h, w = att.shape
         am = jnp.argmax(att.reshape(B, C, h * w), axis=-1)
-        return (l_fwd < l_swp), am // w, am % w, (h, w)
+        # per-quadrant mean attention mass [B, C, 4] — a receptive-field-
+        # tolerant localization signal (the dilated ResNet's RF is nearly
+        # global at 224px, so stream identity need not concentrate at the
+        # single argmax cell)
+        hh, ww = h - h // 2, w - w // 2
+        quads = jnp.stack([
+            jnp.mean(att[:, :, :h // 2, :w // 2], axis=(2, 3)),
+            jnp.mean(att[:, :, :h // 2, w // 2:], axis=(2, 3)),
+            jnp.mean(att[:, :, h // 2:, :w // 2], axis=(2, 3)),
+            jnp.mean(att[:, :, h // 2:, w // 2:], axis=(2, 3))], axis=-1)
+        return (l_fwd < l_swp), am // w, am % w, (h, w), quads
 
     rng = jax.random.PRNGKey(cfg.seed)
     perm_hits, perm_total = 0, 0
-    point_hits, point_total = 0, 0
+    point_hits, mass_hits, point_total = 0, 0, 0
     for batch in loader:
         dev = {k: jnp.asarray(v) for k, v in batch.items()
                if isinstance(v, np.ndarray) and v.dtype != object}
         rng, sub = jax.random.split(rng)
-        correct, ay, ax, (h, w) = jax.device_get(
+        correct, ay, ax, (h, w), quads = jax.device_get(
             probe_step(state.params, state.batch_stats, dev, sub))
         perm_hits += int(correct.sum())
         perm_total += len(correct)
         if tokens:
             quad = quadrant_of(ay, ax, h, w)             # [B, C]
+            mass_quad = np.argmax(quads, axis=-1)        # [B, C]
             for b in range(len(batch["id"])):
                 for n, info in enumerate(batch["infos"][b]):
                     meta = tokens.get(os.path.abspath(info[1]))
@@ -120,6 +131,7 @@ def run_probe(cfg, tokens_json: str):
                             meta.get("quadrant"), int):
                         continue
                     point_hits += int(quad[b, n] == meta["quadrant"])
+                    mass_hits += int(mass_quad[b, n] == meta["quadrant"])
                     point_total += 1
 
     # separation quality of both branches via the standard eval harness
@@ -133,6 +145,8 @@ def run_probe(cfg, tokens_json: str):
         "perm_acc": perm_hits / max(perm_total, 1),
         "perm_n": perm_total,
         "pointing_acc": (point_hits / point_total) if point_total else None,
+        "pointing_mass_acc": (mass_hits / point_total) if point_total
+        else None,
         "pointing_n": point_total,
         "av_si_sdr": history["val_av"]["si_sdr"][-1],
         "av_sdr": history["val_av"]["sdr"][-1],
@@ -143,10 +157,12 @@ def run_probe(cfg, tokens_json: str):
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print("[AV probe] perm_acc={perm_acc:.3f} (n={perm_n}, chance 0.5)  "
-          "pointing_acc={pa} (n={pointing_n}, chance 0.25)  "
+          "pointing_acc={pa} mass_acc={ma} (n={pointing_n}, chance 0.25)  "
           "AV SI-SDR={av_si_sdr:.2f} dB  AO SI-SDR={ao_si_sdr:.2f} dB"
           .format(pa=("%.3f" % report["pointing_acc"])
                   if report["pointing_acc"] is not None else "n/a",
+                  ma=("%.3f" % report["pointing_mass_acc"])
+                  if report["pointing_mass_acc"] is not None else "n/a",
                   **report))
     print(f"report written to {out_path}")
     return report
