@@ -52,3 +52,52 @@ def test_bf16_forward_close_to_f32():
                - np.asarray(out16["pred_masks"], np.float32))
     assert d.mean() < 0.05
     assert abs(float(err16) - float(err32)) < 0.1
+
+
+def test_bf16_train_step_learns():
+    """The bf16 compute path must train, not just infer: finite loss,
+    f32 params actually updated, and loss decreasing over a few steps on
+    a fixed batch (the +21% train-throughput option in BENCH_NOTES must
+    be numerically usable)."""
+    from tests.test_train_step import clone
+    from avsep_tpu.train import TrainState, make_optimizer, make_train_step
+
+    cfg = tiny_cfg().replace(dtype="bfloat16")
+    nets = Nets(
+        AudioUnet(fc_dim=2, num_downs=5, ngf=8, fusion_type="hidsep",
+                  att_type="sig", dtype=jnp.bfloat16),
+        FrameEncoder(fc_dim=32, pool_type="maxpool", dilate_scale=16,
+                     dtype=jnp.bfloat16))
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    sound_vars = nets.sound.init(k1, jnp.zeros((2, 256, 64, 1)),
+                                 jnp.zeros((2, 2, 4, 4, 32)), train=False)
+    frame_vars = nets.frame.init(k2, jnp.zeros((2, 1, 64, 64, 3)),
+                                 pool=False, train=False)
+    params = {"sound": sound_vars["params"], "frame": frame_vars["params"]}
+    stats = {"sound": sound_vars["batch_stats"],
+             "frame": frame_vars["batch_stats"]}
+    # Flax keeps params f32 under a bf16 compute dtype (mixed precision)
+    leaves = jax.tree_util.tree_leaves(params)
+    assert all(a.dtype == jnp.float32 for a in leaves)
+
+    opt = make_optimizer(cfg, params)
+    state = TrainState(jnp.zeros((), jnp.int32), params, stats,
+                       opt.init(params))
+    p0 = clone(params)
+
+    step = make_train_step(cfg, nets, use_vis=True)
+    batch = tiny_batch(cfg, B=4)
+    rng = jax.random.PRNGKey(1)
+    errs = []
+    for i in range(8):
+        rng, sub = jax.random.split(rng)
+        state, m = step(state, dict(batch), sub)
+        errs.append(float(m["err"]))
+    assert all(np.isfinite(e) for e in errs), errs
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a, np.float32)
+                                  - np.asarray(b, np.float32)).max()),
+        p0, jax.device_get(state.params))
+    assert max(jax.tree_util.tree_leaves(moved)) > 0.0
+    assert errs[-1] < errs[0], errs

@@ -157,10 +157,14 @@ def main(batch: int = 32, n_steps: int = 16):
               "device": str(dev), "peak_bf16_flops": V5E_PEAK_BF16}
 
     # FLOPs of single-step programs (cost analysis on the unscanned step —
-    # scan hides the body's cost from per-op analysis on some backends)
+    # scan hides the body's cost from per-op analysis on some backends).
+    # NB: the full carry must be a live output — returning only the loss
+    # lets XLA dead-code-eliminate the entire backward pass + optimizer
+    # update, silently reporting forward-only FLOPs (the round-3 bug
+    # behind the earlier "cost analysis under-counts backward" note).
     rs = jax.random.PRNGKey(7)
     single_train = jax.jit(lambda p, s, o, k: piece_trainstep((p, s, o),
-                                                              k)[1])
+                                                              k))
     lowered = single_train.lower(state.params, state.batch_stats,
                                  state.opt_state, rs)
     train_flops = _flops_of(lowered.compile())
