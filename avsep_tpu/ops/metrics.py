@@ -74,56 +74,65 @@ def _fftconvolve(c: jnp.ndarray, x_f: jnp.ndarray, n_fft: int,
     return jnp.real(jnp.fft.ifft(cf * x_f, axis=-1))[..., :out_len]
 
 
-def _decompose(refs: jnp.ndarray, est: jnp.ndarray, j: jnp.ndarray,
-               flen: int = FLEN):
-    """BSS-eval decomposition of one estimate against reference j.
+def _decompose_all(refs: jnp.ndarray, ests: jnp.ndarray, flen: int = FLEN):
+    """All S x S BSS-eval decompositions of one sample, sharing the Gram.
 
-    refs: [S, L], est: [L], j: one-hot [S] selecting the true source.
-    Returns (s_true+e_spat energy pieces) per mir_eval's
-    _bss_decomp_mtifilt: s_filt = proj(est | ref_j shifts),
-    p_all = proj(est | all ref shifts).
+    refs/ests: [S, L].  Returns (sdr, sir, sar), each [S, S] with entry
+    [i, j] = metric(est_j vs ref_i), per mir_eval's _bss_decomp_mtifilt:
+    p_true = proj(est_j | ref_i shifts), p_all = proj(est_j | all shifts).
+
+    The [S*flen, S*flen] Gram matrix and its factorization depend only on
+    the references, so it is built ONCE and solved with all S estimates
+    stacked as right-hand sides.  (The earlier per-(i, j) vmap formulation
+    compiled to the same program — vmap leaves operands that do not depend
+    on the mapped axis unbatched, so XLA already shared the factorization;
+    verified by comparing compiled HLO custom-call shapes.  This explicit
+    form just stops relying on that subtlety.)
     """
     S, L = refs.shape
     out_len = L + flen - 1
     n_fft = int(2 ** np.ceil(np.log2(out_len)))
+    a = jnp.arange(flen)
 
     refs_f = jnp.fft.fft(refs, n=n_fft, axis=-1)        # [S, n_fft]
-    est_f = jnp.fft.fft(est, n=n_fft, axis=-1)          # [n_fft]
+    ests_f = jnp.fft.fft(ests, n=n_fft, axis=-1)        # [S, n_fft]
 
-    # --- projection onto ALL sources' shifted versions (1024x1024 solve)
+    # --- shared Gram of ALL sources' shifted versions, built once
     corr_ij = _corr(refs_f[:, None], refs_f[None, :])   # [S, S, n_fft]
     G_blocks = _toeplitz_from_corr(corr_ij, flen)       # [S, S, flen, flen]
-    G = jnp.concatenate(
-        [jnp.concatenate([G_blocks[i, k] for k in range(S)], axis=1)
-         for i in range(S)], axis=0)                    # [S*flen, S*flen]
+    G = G_blocks.transpose(0, 2, 1, 3).reshape(S * flen, S * flen)
 
-    d_corr = _corr(refs_f, est_f[None])                 # [S, n_fft]
-    a = jnp.arange(flen)
-    D = d_corr[:, (-a) % n_fft].reshape(S * flen)       # hstack(ssef[0], rev)
+    # cross-correlations ref_i x est_j, one gather for every pair
+    d_corr = _corr(refs_f[:, None], ests_f[None, :])    # [S, S, n_fft]
+    D = d_corr[:, :, (-a) % n_fft]                      # [S, S, flen]
 
-    C = jnp.linalg.solve(G, D).reshape(S, flen)         # filters per source
-    p_all = jnp.sum(_fftconvolve(C, refs_f, n_fft, out_len), axis=0)
+    # --- ONE factorization, S stacked RHS (one per estimate)
+    D_all = D.transpose(0, 2, 1).reshape(S * flen, S)
+    C = jnp.linalg.solve(G, D_all).reshape(S, flen, S)  # [s, flen, j]
+    C = C.transpose(2, 0, 1)                            # [j, s, flen]
+    # p_all[j] = sum_s conv(C[j, s], refs[s])
+    p_all = jnp.sum(_fftconvolve(C, refs_f[None], n_fft, out_len),
+                    axis=1)                             # [j, out_len]
 
-    # --- projection onto the TRUE source only (flen x flen solve)
-    ref_j_f = jnp.einsum("s,sf->f", j, refs_f)
-    Gjj = _toeplitz_from_corr(_corr(ref_j_f, ref_j_f), flen)
-    Dj = _corr(ref_j_f, est_f)[(-a) % n_fft]
-    Cj = jnp.linalg.solve(Gjj, Dj)
-    p_true = _fftconvolve(Cj, ref_j_f, n_fft, out_len)
+    # --- true-source projections: diagonal Gram blocks, S RHS each
+    Gjj = G_blocks[jnp.arange(S), jnp.arange(S)]        # [i, flen, flen]
+    Cj = jnp.linalg.solve(Gjj, D.transpose(0, 2, 1))    # [i, flen, j]
+    # p_true[i, j] = conv(Cj[i, :, j], refs[i])
+    p_true = _fftconvolve(Cj.transpose(0, 2, 1), refs_f[:, None],
+                          n_fft, out_len)               # [i, j, out_len]
 
-    ref_j = jnp.einsum("s,sl->l", j, refs)
-    s_true = jnp.concatenate([ref_j, jnp.zeros(flen - 1)])
-    est_pad = jnp.concatenate([est, jnp.zeros(flen - 1)])
+    s_true = jnp.pad(refs, ((0, 0), (0, flen - 1)))     # [i, out_len]
+    est_pad = jnp.pad(ests, ((0, 0), (0, flen - 1)))    # [j, out_len]
 
-    e_spat = p_true - s_true
-    e_interf = p_all - p_true
-    e_artif = est_pad - p_all
-
-    sdr = _db(jnp.sum((s_true + e_spat) ** 2),
-              jnp.sum((e_interf + e_artif) ** 2))
-    sir = _db(jnp.sum((s_true + e_spat) ** 2), jnp.sum(e_interf ** 2))
-    sar = _db(jnp.sum((s_true + e_spat + e_interf) ** 2),
-              jnp.sum(e_artif ** 2))
+    e_interf = p_all[None] - p_true                     # [i, j, out_len]
+    e_artif = (est_pad - p_all)[None]                   # [1, j, out_len]
+    # s_true + e_spat == p_true by construction
+    sdr = _db(jnp.sum(p_true ** 2, -1),
+              jnp.sum((e_interf + e_artif) ** 2, -1))
+    sir = _db(jnp.sum(p_true ** 2, -1), jnp.sum(e_interf ** 2, -1))
+    sar = _db(jnp.sum((p_true + e_interf) ** 2, -1),
+              jnp.sum(jnp.broadcast_to(e_artif,
+                                       e_interf.shape) ** 2, -1))
     return sdr, sir, sar
 
 
@@ -135,15 +144,8 @@ def bss_eval_sources(refs: jnp.ndarray, ests: jnp.ndarray,
     (including choosing the permutation that maximizes mean SIR).
     """
     B, S, L = refs.shape
-    eye = jnp.eye(S)
 
-    def pairwise(refs_b, ests_b):
-        def one(i, j):
-            return _decompose(refs_b, ests_b[j], eye[i])
-        return jax.vmap(lambda i: jax.vmap(lambda j: one(i, j))(
-            jnp.arange(S)))(jnp.arange(S))  # ([S,S], [S,S], [S,S])
-
-    sdr_m, sir_m, sar_m = jax.vmap(pairwise)(refs, ests)  # each [B, S, S]
+    sdr_m, sir_m, sar_m = jax.vmap(_decompose_all)(refs, ests)  # [B, S, S]
     # entry [b, i, j] = metric(est_j vs ref_i)
 
     if not compute_permutation:
