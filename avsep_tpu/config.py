@@ -122,6 +122,10 @@ class Config:
 
     # ---- TPU-native additions (no reference equivalent) ----
     dtype: str = "float32"          # compute dtype for the model
+    audio_wire: str = "f32"         # host->device audio encoding: "f32"
+                                    # (bit-exact) or "int16" (+per-source
+                                    # gains, ~half the audio bytes; see
+                                    # data/wire.py)
     data_axis: str = "data"          # mesh axis name for DP
     mesh_shape: Tuple[int, ...] = ()  # () -> use all local devices on 1 axis
     profile_dir: str = ""            # jax.profiler trace output (off if "")

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from avsep_tpu.config import Config
+from avsep_tpu.data.wire import audios_of
 from avsep_tpu.models.builder import ModelBuilder, activate
 from avsep_tpu.models import criterion as crit
 from avsep_tpu.ops.prepare import PreparedBatch, prepare
@@ -65,10 +66,12 @@ def audio_mix_of(batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     summing ``audios`` on device is bit-equal in float32 — the loaders
     drop ``audio_mix`` from the device dict to cut ~24% of the
     host->device bytes (the wire is the in-situ bottleneck on tunneled
-    chips, BENCH_NOTES.md)."""
+    chips, BENCH_NOTES.md).  Under the opt-in int16 wire the sum is of
+    the dequantized sources (lossy by the wire's ~90 dB SNR, see
+    data/wire.py)."""
     if "audio_mix" in batch:
         return batch["audio_mix"]
-    return jnp.sum(batch["audios"], axis=1)
+    return jnp.sum(audios_of(batch), axis=1)
 
 
 def batch_spectrograms(batch: Dict[str, jnp.ndarray], cfg: Config):
@@ -82,7 +85,7 @@ def batch_spectrograms(batch: Dict[str, jnp.ndarray], cfg: Config):
         return batch["mag_mix"], batch["mags"]
     mag_mix, _ = stft_magphase(audio_mix_of(batch), cfg.stft_frame,
                                cfg.stft_hop, use_pallas=cfg.use_pallas)
-    mags, _ = stft_magphase(batch["audios"], cfg.stft_frame, cfg.stft_hop,
+    mags, _ = stft_magphase(audios_of(batch), cfg.stft_frame, cfg.stft_hop,
                             use_pallas=cfg.use_pallas)
     return mag_mix, mags
 

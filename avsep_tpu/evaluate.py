@@ -21,6 +21,7 @@ import numpy as np
 
 from avsep_tpu.config import Config
 from avsep_tpu.data.audio_io import write_wav
+from avsep_tpu.data.wire import audios_of, encode_audio_wire
 from avsep_tpu.data.video_transforms import denormalize
 from avsep_tpu.engine import Nets, audio_mix_of, forward
 from avsep_tpu.utils.jit_cache import JitStepCache
@@ -74,7 +75,7 @@ def _build_eval_step(cfg: Config, nets: Nets, use_vis: bool):
         noise = 0.01 * jax.random.uniform(rng, preds_wav.shape)
         preds_wav = jnp.where(allzero, noise, preds_wav)
 
-        gts_wav = batch["audios"][..., :L]
+        gts_wav = audios_of(batch)[..., :L]
         metrics = eval_metrics(gts_wav, preds_wav)
         metrics["err"] = err
         metrics["match_loss"] = outputs["match_loss"]
@@ -148,6 +149,7 @@ def evaluate(cfg: Config, nets: Nets, params, batch_stats, loader, history,
                 reps = np.repeat(v[-1:], pad_to - v.shape[0], axis=0)
                 v = np.concatenate([v, reps], axis=0)
             dev_batch[k] = v
+        dev_batch = encode_audio_wire(dev_batch, cfg)
         if mesh is not None:
             from avsep_tpu.parallel.mesh import shard_batch
             dev_batch = shard_batch(dev_batch, mesh)

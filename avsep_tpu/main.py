@@ -21,6 +21,7 @@ from avsep_tpu.checkpoint import (
     checkpoint, load_history, restore_checkpoint)
 from avsep_tpu.config import Config, parse_args
 from avsep_tpu.data.dataset import MusicMixDataset
+from avsep_tpu.data.wire import encode_audio_wire
 from avsep_tpu.data.loader import (
     BatchLoader, ConcatDataset, DevicePrefetcher, ProcessBatchLoader,
     iter_forever)
@@ -60,7 +61,7 @@ def build_loaders(cfg: Config, val_only: bool = False):
     return mk(av_ds, True), mk(ao_ds, True), val_loader
 
 
-def to_device(batch, mesh, drop=()):
+def to_device(batch, mesh, drop=(), cfg=None):
     # audio_mix never crosses the wire: it is the exact f32 sum of the
     # per-source waveforms and is rebuilt on device
     # (engine.audio_mix_of) — ~24% fewer host->device bytes per batch.
@@ -70,6 +71,8 @@ def to_device(batch, mesh, drop=()):
     skip = ("class", "audio_mix") + tuple(drop)
     dev = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)
            and v.dtype != object and k not in skip}
+    if cfg is not None:  # opt-in int16 audio wire (data/wire.py)
+        dev = encode_audio_wire(dev, cfg)
     return shard_batch(dev, mesh)
 
 
@@ -127,10 +130,11 @@ def main(cfg: Config):
     # device-side prefetch: batch i+1's host->device transfer rides under
     # batch i's step instead of showing up in data_time
     av_iter = DevicePrefetcher(iter_forever(av_loader),
-                               lambda b: to_device(b, mesh))
+                               lambda b: to_device(b, mesh, cfg=cfg))
     ao_iter = DevicePrefetcher(iter_forever(ao_loader),
                                lambda b: to_device(b, mesh,
-                                                   drop=("frames", "clips")))
+                                                   drop=("frames", "clips"),
+                                                   cfg=cfg))
 
     iter_time, data_time = AverageMeter(), AverageMeter()
     match_meter = AverageMeter()

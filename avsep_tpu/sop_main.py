@@ -23,6 +23,7 @@ import optax
 from avsep_tpu.checkpoint import checkpoint, load_history, restore_checkpoint
 from avsep_tpu.config import Config, parse_args
 from avsep_tpu.data.loader import DevicePrefetcher, iter_forever
+from avsep_tpu.data.wire import audios_of, encode_audio_wire
 from avsep_tpu.main import build_loaders, to_device
 from avsep_tpu.models.resnet import FrameEncoder
 from avsep_tpu.models.sop import BasisUnet
@@ -183,10 +184,11 @@ def main(cfg: Config):
     # constructed only in train mode — DevicePrefetcher starts pulling
     # batches (and forking loader workers) the moment it is built
     av_iter = DevicePrefetcher(iter_forever(av_loader),
-                               lambda b: to_device(b, mesh))
+                               lambda b: to_device(b, mesh, cfg=cfg))
     ao_iter = DevicePrefetcher(iter_forever(ao_loader),
                                lambda b: to_device(b, mesh,
-                                                   drop=("frames", "clips")))
+                                                   drop=("frames", "clips"),
+                                                   cfg=cfg))
 
     steps: Dict[Tuple[bool, int], object] = {}
     iter_time, data_time = AverageMeter(), AverageMeter()
@@ -274,7 +276,7 @@ def _build_sop_eval_step(cfg, nets, use_vis: bool):
         allzero = jnp.all(wavs == 0, axis=-1, keepdims=True)
         wavs = jnp.where(allzero,
                          0.01 * jax.random.uniform(sub, wavs.shape), wavs)
-        m = eval_metrics(dev["audios"][..., :wavs.shape[-1]], wavs)
+        m = eval_metrics(audios_of(dev)[..., :wavs.shape[-1]], wavs)
         m["err_ps"] = outputs["err_ps"]  # [B]
         return m
 
@@ -318,6 +320,7 @@ def _sop_evaluate(cfg, nets, state, loader, history, itera, mesh=None):
                     reps = np.repeat(v[-1:], pad_to - v.shape[0], axis=0)
                     v = np.concatenate([v, reps], axis=0)
                 dev[k] = v
+            dev = encode_audio_wire(dev, cfg)
             dev = (shard_batch(dev, mesh) if mesh is not None
                    else {k: jnp.asarray(v) for k, v in dev.items()})
             m = jax.device_get(eval_step(state.params, state.batch_stats,
