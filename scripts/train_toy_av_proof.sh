@@ -9,15 +9,23 @@
 # no ImageNet bootstrap (zero egress), so lr_frame is raised 1e-4 -> 1e-3 to
 # train the frame encoder from scratch; 3k iterations instead of 95k (the
 # toy set saturates long before that).
+#
+# SHARED_BG=1 generates the harder variant where EVERY video shares one
+# background texture, so the class token is the only class-informative
+# visual content — background memorization can't fake the result, and the
+# pointing game becomes a sharp localization test (measured: pointing-acc
+# 0.984 / attention-mass 1.000 vs 0.25 chance; AVPROOF_r03.json).
 set -e
 
 ROOT=${1:-/tmp/music_tok}
 CKPT=${2:-./ckpt}
+SB_FLAG=""
+[ "${SHARED_BG:-0}" = "1" ] && SB_FLAG="--shared_background"
 
 if [ ! -f "$ROOT/tokens.json" ]; then
   python examples/make_synthetic_data.py --root "$ROOT" \
     --classes cello flute violin trumpet --videos_per_class 6 \
-    --duration 14 --fps 8 --class_tokens
+    --duration 14 --fps 8 --class_tokens $SB_FLAG
   python - "$ROOT" <<'EOF'
 import sys
 root = sys.argv[1]
@@ -51,6 +59,9 @@ args=(
 
 python -u -m avsep_tpu.main --mode train "${args[@]}"
 
-# perm-accuracy + pointing-game + branch SI-SDR from the best checkpoint
+# perm-accuracy + pointing-game + branch SI-SDR from the probed checkpoint
+# (PROBE_CKPT=latest probes the final iterate instead of the reference's
+# best-by-AO-SI-SDR policy — on the shared-background set "best" lands at
+# iter 750 before the match loss converges)
 python tools/av_probe.py --tokens_json "$ROOT/tokens.json" \
-  --mode eval "${args[@]}"
+  --probe_ckpt "${PROBE_CKPT:-best}" --mode eval "${args[@]}"

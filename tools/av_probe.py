@@ -55,7 +55,7 @@ def quadrant_of(ay: np.ndarray, ax: np.ndarray, h: int, w: int) -> np.ndarray:
         np.int32)
 
 
-def run_probe(cfg, tokens_json: str):
+def run_probe(cfg, tokens_json: str, tag: str = "best"):
     from avsep_tpu.checkpoint import restore_checkpoint
     from avsep_tpu.data.dataset import MusicMixDataset
     from avsep_tpu.data.loader import BatchLoader, ConcatDataset
@@ -74,11 +74,12 @@ def run_probe(cfg, tokens_json: str):
     state = init_state(cfg, nets, jax.random.PRNGKey(cfg.seed))
     ckpt_dir = os.path.join(cfg.ckpt, cfg.id)
     try:
-        state = restore_checkpoint(ckpt_dir, state, "best")
-        print(f"restored BEST checkpoint from {ckpt_dir}")
+        state = restore_checkpoint(ckpt_dir, state, tag)
+        print(f"restored {tag.upper()} checkpoint from {ckpt_dir}")
     except Exception:
-        state = restore_checkpoint(ckpt_dir, state, "latest")
-        print(f"restored LATEST checkpoint from {ckpt_dir}")
+        alt = "latest" if tag == "best" else "best"
+        state = restore_checkpoint(ckpt_dir, state, alt)
+        print(f"restored {alt.upper()} checkpoint from {ckpt_dir}")
 
     ds = ConcatDataset([MusicMixDataset(p, cfg, split="val")
                         for p in cfg.list_val])
@@ -171,9 +172,13 @@ def run_probe(cfg, tokens_json: str):
 def main():
     ap = argparse.ArgumentParser(add_help=False)
     ap.add_argument("--tokens_json", default="")
+    ap.add_argument("--probe_ckpt", default="best",
+                    choices=["best", "latest"],
+                    help="which checkpoint tag to probe (best = the "
+                         "reference's AO-SI-SDR policy, main.py:524)")
     probe_args, rest = ap.parse_known_args()
     cfg = parse_args(rest)
-    run_probe(cfg, probe_args.tokens_json)
+    run_probe(cfg, probe_args.tokens_json, tag=probe_args.probe_ckpt)
 
 
 if __name__ == "__main__":
