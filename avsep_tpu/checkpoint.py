@@ -27,11 +27,20 @@ def _ckptr():
 
 def save_checkpoint(ckpt_dir: str, state: TrainState, history: dict,
                     tag: str = "latest") -> None:
+    # multi-host: EVERY process must call the orbax save — it contains
+    # cross-process synchronization internally, so a primary-only call
+    # deadlocks the job (p0 parks in orbax's barrier while the others run
+    # ahead into the next collective; measured in tests/test_multihost.py
+    # bring-up).  device_get of the replicated TrainState is local and
+    # cheap on each process; orbax coordinates so the tree is written
+    # once.  Only the history json (a plain file write with no barrier)
+    # is primary-gated.
     path = os.path.join(os.path.abspath(ckpt_dir), f"state_{tag}")
     host_state = jax.device_get(state)
     _ckptr().save(path, host_state._asdict(), force=True)
-    with open(os.path.join(ckpt_dir, "history_latest.json"), "w") as f:
-        json.dump(history, f)
+    if jax.process_index() == 0:
+        with open(os.path.join(ckpt_dir, "history_latest.json"), "w") as f:
+            json.dump(history, f)
 
 
 def restore_checkpoint(ckpt_dir: str, template: TrainState,

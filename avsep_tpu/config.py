@@ -128,6 +128,18 @@ class Config:
                                     # data/wire.py)
     data_axis: str = "data"          # mesh axis name for DP
     mesh_shape: Tuple[int, ...] = ()  # () -> use all local devices on 1 axis
+    # multi-host (DCN) data parallelism — parallel/distributed.py.  The
+    # reference never exceeds one host (SURVEY §2.3); these extend the
+    # same 1-axis data mesh across processes via jax.distributed.
+    dist_coordinator: str = ""       # "host:port" of process 0 ("" = off)
+    dist_nprocs: int = 1             # total number of processes
+    dist_procid: int = 0             # this process's id [0, nprocs)
+    dist_data: str = "replicate"     # host data mode: "replicate" (every
+                                     # host runs the identical loader,
+                                     # ships only its rows — bit-identical
+                                     # to 1-process) | "shard" (disjoint
+                                     # per-host sample streams, host work
+                                     # divides too)
     profile_dir: str = ""            # jax.profiler trace output (off if "")
     profile_start: int = 10          # first profiled iteration
     profile_steps: int = 5           # number of profiled iterations

@@ -150,7 +150,14 @@ def evaluate(cfg: Config, nets: Nets, params, batch_stats, loader, history,
                 v = np.concatenate([v, reps], axis=0)
             dev_batch[k] = v
         dev_batch = encode_audio_wire(dev_batch, cfg)
-        if mesh is not None:
+        if jax.process_count() > 1:
+            # multi-host eval is always replicate-mode: every process runs
+            # the identical deterministic val loader and ships its own
+            # rows, so meters match the single-process sweep exactly
+            from avsep_tpu.parallel.distributed import device_put_global
+            dev_batch = device_put_global(dev_batch, mesh,
+                                          mode="replicate")
+        elif mesh is not None:
             from avsep_tpu.parallel.mesh import shard_batch
             dev_batch = shard_batch(dev_batch, mesh)
         else:
@@ -160,11 +167,12 @@ def evaluate(cfg: Config, nets: Nets, params, batch_stats, loader, history,
     from avsep_tpu.data.loader import DevicePrefetcher
     prefetcher = DevicePrefetcher(iter(loader), _pad_and_ship)
     try:
+        from avsep_tpu.parallel.distributed import fetch, is_primary
         for batch, dev_batch, true_bs in prefetcher:
             rng, sub = jax.random.split(rng)
             metrics, outputs, preds_wav = step(params, batch_stats,
                                                dev_batch, sub)
-            metrics = jax.device_get(metrics)
+            metrics = fetch(metrics)  # allgathers cross-host shards
             metrics = {k: (m[:true_bs] if np.ndim(m) else m)
                        for k, m in metrics.items()}
             meters["loss"].update(float(np.mean(metrics["err_ps"])),
@@ -183,10 +191,10 @@ def evaluate(cfg: Config, nets: Nets, params, batch_stats, loader, history,
                                "si-snr": float(metrics["si_sdr"][n])})
             if write_visuals and vis_budget > 0:
                 n_vis = min(vis_budget, len(batch["id"]))
-                output_visuals(vis_root, cfg, batch,
-                               jax.device_get(outputs),
-                               jax.device_get(preds_wav), n_vis,
-                               use_vis_eval)
+                out_h, preds_h = fetch(outputs), fetch(preds_wav)
+                if is_primary():  # fetch() is collective; writes are not
+                    output_visuals(vis_root, cfg, batch, out_h, preds_h,
+                                   n_vis, use_vis_eval)
                 vis_budget -= n_vis
     finally:
         # an exception mid-sweep must not park the producer thread on the
@@ -215,17 +223,22 @@ def evaluate(cfg: Config, nets: Nets, params, batch_stats, loader, history,
         history[keyname].setdefault("perm_acc", []).append(
             meters["perm_acc"].average())
 
-    # per-sample results.csv (reference main.py:493-498)
-    save_dir = os.path.join(vis_root, "av" if use_vis_eval else "ao")
-    makedirs(save_dir, remove=False)
-    with open(os.path.join(save_dir, "results.csv"), "w") as f:
-        writer = csv.DictWriter(f, fieldnames=["id", "sdr", "sir", "si-snr"])
-        writer.writeheader()
-        writer.writerows(csv_ls)
+    # per-sample results.csv (reference main.py:493-498); file writes are
+    # primary-only under multi-host (all processes share the meters/history)
+    from avsep_tpu.parallel.distributed import is_primary
+    if is_primary():
+        save_dir = os.path.join(vis_root, "av" if use_vis_eval else "ao")
+        makedirs(save_dir, remove=False)
+        with open(os.path.join(save_dir, "results.csv"), "w") as f:
+            writer = csv.DictWriter(f,
+                                    fieldnames=["id", "sdr", "sir",
+                                                "si-snr"])
+            writer.writeheader()
+            writer.writerows(csv_ls)
 
-    if itera > 0:
-        print("Plotting figures...")
-        plot_loss_metrics(cfg.ckpt, history)
+        if itera > 0:
+            print("Plotting figures...")
+            plot_loss_metrics(cfg.ckpt, history)
 
 
 def output_visuals(vis_root: str, cfg: Config, batch, outputs, preds_wav,

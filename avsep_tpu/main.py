@@ -36,7 +36,20 @@ from avsep_tpu.utils.media import makedirs
 
 def build_loaders(cfg: Config, val_only: bool = False):
     """AV / AO / val loaders (reference main.py:633-657).  ``val_only``
-    skips the train datasets so eval mode needs no train manifests."""
+    skips the train datasets so eval mode needs no train manifests.
+
+    Multi-host: in ``dist_data=replicate`` every process runs these
+    loaders identically (deterministic datasets + order-preserving
+    loaders) and ships only its own rows; in ``shard`` each process's
+    TRAIN loaders produce a disjoint ``batch/P`` stream (per-process
+    shuffle seeds) — val stays replicated either way so eval meters are
+    process-independent (parallel/distributed.py)."""
+    n_proc = jax.process_count()
+    shard_hosts = n_proc > 1 and cfg.dist_data == "shard"
+    train_bs = cfg.batch_size // n_proc if shard_hosts else cfg.batch_size
+    # distinct per-process shuffle streams in shard mode; 0 otherwise
+    seed_off = jax.process_index() * 7919 if shard_hosts else 0
+
     val_cls = ProcessBatchLoader if int(cfg.workers) > 0 else BatchLoader
     val_ds = ConcatDataset([MusicMixDataset(p, cfg, split="val")
                             for p in cfg.list_val])
@@ -55,9 +68,9 @@ def build_loaders(cfg: Config, val_only: bool = False):
     # flowing while the main thread blocks in device dispatch.
     # workers=0 -> in-process thread loader (torch's workers=0 analogue).
     cls = ProcessBatchLoader if int(cfg.workers) > 0 else BatchLoader
-    mk = lambda ds, sh: cls(ds, cfg.batch_size, shuffle=sh,
+    mk = lambda ds, sh: cls(ds, train_bs, shuffle=sh,
                             num_workers=max(1, int(cfg.workers)),
-                            seed=cfg.seed, drop_last=True)
+                            seed=cfg.seed + seed_off, drop_last=True)
     return mk(av_ds, True), mk(ao_ds, True), val_loader
 
 
@@ -73,18 +86,41 @@ def to_device(batch, mesh, drop=(), cfg=None):
            and v.dtype != object and k not in skip}
     if cfg is not None:  # opt-in int16 audio wire (data/wire.py)
         dev = encode_audio_wire(dev, cfg)
+    if jax.process_count() > 1:  # multi-host: per-process rows -> global
+        from avsep_tpu.parallel.distributed import device_put_global
+        return device_put_global(
+            dev, mesh, mode=cfg.dist_data if cfg is not None
+            else "replicate")
     return shard_batch(dev, mesh)
 
 
 def main(cfg: Config):
+    # multi-host (DCN) bring-up must precede the first device query
+    from avsep_tpu.parallel.distributed import maybe_initialize
+    maybe_initialize(cfg)
+
     print("Model ID: {}".format(cfg.id))
     ckpt_root = os.path.join(cfg.ckpt, cfg.id)
     cfg = cfg.replace(ckpt=ckpt_root)
     makedirs(cfg.ckpt, remove=False)
 
-    # data-parallel width = num_gpus (reference main.py:661 DataParallel
-    # over range(num_gpus)), clamped to the devices actually present
-    n_dev = max(1, min(cfg.num_gpus, len(jax.devices())))
+    if jax.process_count() > 1:
+        # a multi-host job spans the whole slice: every process's devices
+        # must be in the mesh (all processes participate in every SPMD
+        # program), so num_gpus cannot subset it
+        n_dev = len(jax.devices())
+        if cfg.batch_size % n_dev:
+            raise ValueError(f"global batch {cfg.batch_size} must divide "
+                             f"across {n_dev} devices")
+        if cfg.dist_data == "shard" and \
+                cfg.batch_size % jax.process_count():
+            raise ValueError("dist_data=shard needs batch_size divisible "
+                             "by the process count")
+    else:
+        # data-parallel width = num_gpus (reference main.py:661
+        # DataParallel over range(num_gpus)), clamped to the devices
+        # actually present
+        n_dev = max(1, min(cfg.num_gpus, len(jax.devices())))
     mesh = make_mesh(n_dev)
     nets = build_nets(cfg)
     rng = jax.random.PRNGKey(cfg.seed)

@@ -63,6 +63,12 @@ class ModelBuilder:
         if arch == "resnet18dilated":
             return FrameEncoder(fc_dim=fc_dim, pool_type=pool_type,
                                 dilate_scale=16, dtype=dtype)
+        if arch == "tinyconv":
+            # bring-up/smoke encoder (TPU-native addition; see
+            # models/resnet.py::TinyConvEncoder — not a parity surface)
+            from avsep_tpu.models.resnet import TinyConvEncoder
+            return TinyConvEncoder(fc_dim=fc_dim, pool_type=pool_type,
+                                   dtype=dtype)
         raise ValueError("Architecture undefined!")
 
     @staticmethod

@@ -154,3 +154,63 @@ class FrameEncoder(nn.Module):
             if self.pool_type == "maxpool":
                 return jnp.max(y, axis=(1, 2))
             return jnp.mean(y, axis=(1, 2))
+
+
+class _TinyTrunk(nn.Module):
+    """3 stride-2 conv-BN-relu blocks (16/32/64 ch) — an 8x downsampling
+    stand-in for the ResNet18 trunk."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for ch in (16, 32, 64):
+            x = nn.Conv(ch, (3, 3), strides=(2, 2), kernel_init=he_init,
+                        dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             dtype=self.dtype)(x)
+            x = nn.relu(x)
+        return x
+
+
+class TinyConvEncoder(nn.Module):
+    """Bring-up frame encoder (TPU-native addition, no reference
+    equivalent; ``--arch_frame tinyconv``): the FrameEncoder contract
+    (same ``__call__(frames, pool, train)`` shapes, same ``features`` /
+    ``fc`` parameter scopes so the per-group optimizer labels apply,
+    train.py:52-66) with a 3-block conv trunk instead of ResNet18.
+
+    An order of magnitude cheaper to jit-compile — used by the multi-host
+    CLI tests (tests/test_multihost.py) and for CPU smoke runs.  NOT a
+    parity surface: the reference's frame nets are resnet18fc /
+    resnet18dilated only (reference models/__init__.py:61-78).
+    """
+    fc_dim: int = 64
+    pool_type: str = "maxpool"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, frames: jnp.ndarray, pool: bool = True,
+                 train: bool = False):
+        multiframe = frames.ndim == 5
+        if multiframe:
+            B, T = frames.shape[:2]
+            x = frames.reshape((B * T,) + frames.shape[2:])
+        else:
+            x = frames
+
+        y = _TinyTrunk(dtype=self.dtype, name="features")(x, train)
+        y = nn.Conv(self.fc_dim, (3, 3), padding=((1, 1), (1, 1)),
+                    kernel_init=he_init, dtype=self.dtype, name="fc")(y)
+
+        if multiframe:
+            y = y.reshape((B, T) + y.shape[1:])
+            if not pool:
+                return jnp.mean(y, axis=1)
+            if self.pool_type == "maxpool":
+                return jnp.max(y, axis=(1, 2, 3))
+            return jnp.mean(y, axis=(1, 2, 3))
+        if not pool:
+            return y
+        if self.pool_type == "maxpool":
+            return jnp.max(y, axis=(1, 2))
+        return jnp.mean(y, axis=(1, 2))

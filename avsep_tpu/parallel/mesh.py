@@ -19,7 +19,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(n_devices: Optional[int] = None,
               axis_name: str = "data") -> Mesh:
-    devs = jax.devices()
+    # sort by owning process so each process's devices form one contiguous
+    # block of the data axis — parallel/distributed.py relies on this to
+    # map a process's host rows to one contiguous global-batch slice
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis_name,))

@@ -136,6 +136,12 @@ def make_sop_train_step(cfg: Config, nets: SopNets, use_vis: bool,
 
 
 def main(cfg: Config):
+    # multi-host (DCN) bring-up must precede the first device query;
+    # build_loaders/to_device (imported from avsep_tpu.main) are already
+    # process-aware, checkpoint writes are primary-gated
+    from avsep_tpu.parallel.distributed import maybe_initialize
+    maybe_initialize(cfg)
+
     print("Model ID: {}".format(cfg.id))
     cfg = cfg.replace(ckpt=os.path.join(cfg.ckpt, cfg.id))
     makedirs(cfg.ckpt, remove=False)
@@ -321,10 +327,18 @@ def _sop_evaluate(cfg, nets, state, loader, history, itera, mesh=None):
                     v = np.concatenate([v, reps], axis=0)
                 dev[k] = v
             dev = encode_audio_wire(dev, cfg)
-            dev = (shard_batch(dev, mesh) if mesh is not None
-                   else {k: jnp.asarray(v) for k, v in dev.items()})
-            m = jax.device_get(eval_step(state.params, state.batch_stats,
-                                         dev, sub))
+            if jax.process_count() > 1:
+                # multi-host eval is replicate-mode: identical val loader
+                # on every process, each ships its own rows
+                from avsep_tpu.parallel.distributed import \
+                    device_put_global
+                dev = device_put_global(dev, mesh, mode="replicate")
+            else:
+                dev = (shard_batch(dev, mesh) if mesh is not None
+                       else {k: jnp.asarray(v) for k, v in dev.items()})
+            from avsep_tpu.parallel.distributed import fetch
+            m = fetch(eval_step(state.params, state.batch_stats,
+                                dev, sub))
             m = {k: v[:true_bs] for k, v in m.items()}
             meters["err"].update(float(np.mean(m["err_ps"])),
                                  weight=true_bs)
@@ -346,15 +360,18 @@ def _sop_evaluate(cfg, nets, state, loader, history, itera, mesh=None):
                                      meters["sar"].average(),
                                      meters["si_sdr"].average()))
 
-        # per-sample results.csv (main harness parity, evaluate.py:162-168)
-        save_dir = os.path.join(cfg.ckpt, "visualization",
-                                "sop_av" if use_vis else "sop_ao")
-        makedirs(save_dir, remove=False)
-        with open(os.path.join(save_dir, "results.csv"), "w") as f:
-            writer = csv.DictWriter(
-                f, fieldnames=["id", "sdr", "sir", "si-snr"])
-            writer.writeheader()
-            writer.writerows(csv_ls)
+        # per-sample results.csv (main harness parity, evaluate.py:162-168);
+        # primary-only under multi-host
+        from avsep_tpu.parallel.distributed import is_primary
+        if is_primary():
+            save_dir = os.path.join(cfg.ckpt, "visualization",
+                                    "sop_av" if use_vis else "sop_ao")
+            makedirs(save_dir, remove=False)
+            with open(os.path.join(save_dir, "results.csv"), "w") as f:
+                writer = csv.DictWriter(
+                    f, fieldnames=["id", "sdr", "sir", "si-snr"])
+                writer.writeheader()
+                writer.writerows(csv_ls)
 
 
 if __name__ == "__main__":
