@@ -1,0 +1,361 @@
+"""Production separation serving: dynamic batching + TCP front-end.
+
+No reference equivalent (the reference's only serving surface is the
+offline demo ``inference.py``); this is the deployment-shaped layer a
+production user expects: a resident model with requests batched onto the
+accelerator.
+
+TPU-native design decisions:
+
+* **One compiled program.**  Requests are padded to a fixed
+  ``max_batch`` so every dispatch reuses a single jitted executable —
+  dynamic batch shapes would recompile per size class (XLA traces once
+  per shape).  Padding rows are sliced off before reply.
+* **Dynamic batching.**  A collector thread takes the first pending
+  request, then drains the queue until ``max_batch`` requests are in
+  hand or ``max_wait_ms`` has elapsed — the standard
+  latency/throughput knob (max_wait 0 = latency-optimal, large =
+  throughput-optimal).  AO requests and AV requests (with frames) form
+  separate groups, one compiled program each.
+* **Host/device split.**  The wire and padding stay on host numpy; the
+  whole DSP+model pipeline (STFT -> warp -> U-Net [-> CoLoc fusion] ->
+  masks -> iSTFT) is the fused on-device ``engine.separate`` program —
+  identical math to the eval/demo paths (reference inference.py:39-86,
+  :433-491).
+
+In-process use::
+
+    svc = SeparationService(cfg, nets, params, batch_stats)
+    fut = svc.submit(mix_f32)            # [L] -> Future
+    wavs = fut.result()                  # [N, L']
+
+Network use (length-prefixed JSON+raw-f32 protocol, stdlib only)::
+
+    python -m avsep_tpu.serve --port 7860 --ckpt ./ckpt --id RUN &
+    wavs = separate_remote("127.0.0.1", 7860, mix_f32)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import socket
+import socketserver
+import struct
+import threading
+import time
+from concurrent.futures import Future
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from avsep_tpu.config import Config
+from avsep_tpu.engine import Nets, separate
+
+
+class ServiceStats:
+    """Requests/dispatches/latency accounting (observability)."""
+
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.requests = 0
+        self.dispatches = 0
+        self.batched_rows = 0
+        self.latencies_ms = []
+
+    def record(self, n_rows: int, lat_ms: float):
+        with self.lock:
+            self.dispatches += 1
+            self.batched_rows += n_rows
+            self.latencies_ms.append(lat_ms)
+            if len(self.latencies_ms) > 4096:
+                del self.latencies_ms[:2048]
+
+    def snapshot(self) -> Dict:
+        with self.lock:
+            lat = sorted(self.latencies_ms)
+            pct = (lambda p: lat[min(len(lat) - 1,
+                                     int(p * len(lat)))] if lat else 0.0)
+            return {"requests": self.requests,
+                    "dispatches": self.dispatches,
+                    "mean_batch": (self.batched_rows
+                                   / max(self.dispatches, 1)),
+                    "p50_ms": pct(0.50), "p95_ms": pct(0.95)}
+
+
+class SeparationService:
+    """Resident separation model with dynamic request batching."""
+
+    def __init__(self, cfg: Config, nets: Nets, params, batch_stats,
+                 max_batch: int = 8, max_wait_ms: float = 5.0,
+                 rng_seed: int = 0):
+        self.cfg = cfg
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1e3
+        self.stats = ServiceStats()
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._rng = jax.random.PRNGKey(rng_seed)
+
+        def jit_branch(with_frames: bool):
+            def run(a, f, rng):
+                return separate(nets, params, batch_stats, a, f, cfg,
+                                rng=rng)["wavs"]
+            return jax.jit(lambda a, rng: run(a, None, rng)) \
+                if not with_frames else jax.jit(run)
+
+        self._run_ao = jit_branch(False)
+        self._run_av = jit_branch(True)
+        self._t = threading.Thread(target=self._worker, daemon=True)
+        self._t.start()
+
+    # ------------------------------------------------------------- client
+    def submit(self, audio_mix: np.ndarray,
+               frames: Optional[np.ndarray] = None) -> Future:
+        """audio_mix [L] float32 (truncated/zero-padded to cfg.audLen);
+        frames [2, 1, H, W, 3] float32 in [0,1] for visually-guided
+        separation, or None for audio-only.  Returns a Future resolving
+        to [num_mix, L'] separated wavs."""
+        if self._stop.is_set():
+            raise RuntimeError("service is closed")
+        mix = np.zeros(self.cfg.audLen, np.float32)
+        n = min(len(audio_mix), self.cfg.audLen)
+        mix[:n] = np.clip(audio_mix[:n], -1.0, 1.0)
+        fut: Future = Future()
+        with self.stats.lock:
+            self.stats.requests += 1
+        self._q.put((mix, frames, fut, time.perf_counter()))
+        return fut
+
+    def close(self):
+        self._stop.set()
+        self._q.put(None)
+        self._t.join(timeout=5.0)
+
+    # ------------------------------------------------------------- worker
+    def _collect(self):
+        """First request blocks; then drain until max_batch or the wait
+        deadline.  Returns a list of (mix, frames, future, t0)."""
+        first = self._q.get()
+        if first is None:
+            return None
+        reqs = [first]
+        deadline = time.perf_counter() + self.max_wait_s
+        while len(reqs) < self.max_batch:
+            left = deadline - time.perf_counter()
+            if left <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=left)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._q.put(None)  # re-post the shutdown sentinel
+                break
+            reqs.append(nxt)
+        return reqs
+
+    def _dispatch_group(self, group, with_frames: bool):
+        if not group:
+            return
+        B = self.max_batch
+        mixes = np.zeros((B, self.cfg.audLen), np.float32)
+        for i, (mix, _, _, _) in enumerate(group):
+            mixes[i] = mix
+        self._rng, sub = jax.random.split(self._rng)
+        t0 = time.perf_counter()
+        if with_frames:
+            frames = np.stack(
+                [f for _, f, _, _ in group]
+                + [group[0][1]] * (B - len(group)))
+            wavs = self._run_av(jnp.asarray(mixes), jnp.asarray(frames),
+                                sub)
+        else:
+            wavs = self._run_ao(jnp.asarray(mixes), sub)
+        wavs = np.asarray(jax.device_get(wavs))
+        lat = (time.perf_counter() - t0) * 1e3
+        self.stats.record(len(group), lat)
+        for i, (_, _, fut, _) in enumerate(group):
+            fut.set_result(wavs[i])
+
+    def _worker(self):
+        while not self._stop.is_set():
+            reqs = self._collect()
+            if reqs is None:
+                return
+            try:
+                self._dispatch_group(
+                    [r for r in reqs if r[1] is None], with_frames=False)
+                self._dispatch_group(
+                    [r for r in reqs if r[1] is not None],
+                    with_frames=True)
+            except Exception as e:  # propagate to every waiting client
+                for _, _, fut, _ in reqs:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+
+# ------------------------------------------------------------------ wire
+# length-prefixed frames: uint32 header_len | json header | raw payload.
+# Request header: {"op": "separate"|"stats", "n": L, "frames_shape": [...]}
+# with payload = mix f32 bytes [+ frames f32 bytes].  Response header:
+# {"ok": true, "shape": [...]} with payload = wavs f32 bytes.
+
+def _send_msg(sock, header: dict, payload: bytes = b""):
+    hj = json.dumps(header).encode()
+    sock.sendall(struct.pack("<I", len(hj)) + hj + payload)
+
+
+def _recv_exact(sock, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed mid-message")
+        buf += chunk
+    return buf
+
+
+def _recv_msg(sock):
+    (hlen,) = struct.unpack("<I", _recv_exact(sock, 4))
+    header = json.loads(_recv_exact(sock, hlen))
+    payload = _recv_exact(sock, int(header.get("payload_bytes", 0)))
+    return header, payload
+
+
+class _Handler(socketserver.BaseRequestHandler):
+    def handle(self):
+        svc: SeparationService = self.server.service  # type: ignore
+        try:
+            while True:
+                header, payload = _recv_msg(self.request)
+                if header["op"] == "stats":
+                    _send_msg(self.request,
+                              {"ok": True, **svc.stats.snapshot()})
+                    continue
+                mix = np.frombuffer(payload[:4 * header["n"]], np.float32)
+                frames = None
+                if header.get("frames_shape"):
+                    fs = tuple(header["frames_shape"])
+                    frames = np.frombuffer(
+                        payload[4 * header["n"]:],
+                        np.float32).reshape(fs)
+                wavs = svc.submit(mix, frames).result()
+                _send_msg(self.request,
+                          {"ok": True, "shape": list(wavs.shape),
+                           "payload_bytes": wavs.nbytes},
+                          np.ascontiguousarray(wavs).tobytes())
+        except (ConnectionError, OSError):
+            return
+        except Exception as e:  # report request-level failures in-band
+            try:
+                _send_msg(self.request, {"ok": False, "error": repr(e)})
+            except OSError:
+                return
+
+
+class SeparationServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, addr, service: SeparationService):
+        super().__init__(addr, _Handler)
+        self.service = service
+
+
+def serve_forever(service: SeparationService, host: str = "127.0.0.1",
+                  port: int = 7860) -> SeparationServer:
+    server = SeparationServer((host, port), service)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server
+
+
+def separate_remote(host: str, port: int, mix: np.ndarray,
+                    frames: Optional[np.ndarray] = None,
+                    sock: Optional[socket.socket] = None) -> np.ndarray:
+    """Client helper: one round trip, returns [num_mix, L'] wavs."""
+    own = sock is None
+    if own:
+        sock = socket.create_connection((host, port))
+    try:
+        mix = np.ascontiguousarray(mix, np.float32)
+        header = {"op": "separate", "n": int(mix.size),
+                  "payload_bytes": mix.nbytes}
+        payload = mix.tobytes()
+        if frames is not None:
+            frames = np.ascontiguousarray(frames, np.float32)
+            header["frames_shape"] = list(frames.shape)
+            header["payload_bytes"] += frames.nbytes
+            payload += frames.tobytes()
+        _send_msg(sock, header, payload)
+        rh, rp = _recv_msg(sock)
+        if not rh.get("ok"):
+            raise RuntimeError(f"server error: {rh.get('error')}")
+        return np.frombuffer(rp, np.float32).reshape(rh["shape"])
+    finally:
+        if own:
+            sock.close()
+
+
+def server_stats(host: str, port: int) -> Dict:
+    with socket.create_connection((host, port)) as sock:
+        _send_msg(sock, {"op": "stats"})
+        header, _ = _recv_msg(sock)
+        return header
+
+
+# -------------------------------------------------------------------- CLI
+
+def main():
+    import argparse
+
+    from avsep_tpu.engine import build_nets
+    from avsep_tpu.train import init_state
+
+    ap = argparse.ArgumentParser(
+        description="avsep_tpu separation server")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=7860)
+    ap.add_argument("--max_batch", type=int, default=8)
+    ap.add_argument("--max_wait_ms", type=float, default=5.0)
+    ap.add_argument("--ckpt", default="")
+    ap.add_argument("--id", default="")
+    args, rest = ap.parse_known_args()
+
+    from avsep_tpu.config import parse_args as parse_cfg
+    cfg = parse_cfg(rest) if rest else Config(
+        arch_sound="unet7", num_channels=2, vis_channels=256,
+        fusion_type="hidsep", att_type="sig", not_pool_vis=False,
+        img_activation="relu", output_activation="sigmoid",
+        binary_mask=1, log_freq=1, one_frame=True)
+
+    nets = build_nets(cfg)
+    state = init_state(cfg, nets, jax.random.PRNGKey(0))
+    if args.ckpt:
+        from avsep_tpu.checkpoint import restore_checkpoint
+        state = restore_checkpoint(os.path.join(args.ckpt, args.id),
+                                   state, "best")
+
+    svc = SeparationService(cfg, nets, state.params, state.batch_stats,
+                            max_batch=args.max_batch,
+                            max_wait_ms=args.max_wait_ms)
+    server = SeparationServer((args.host, args.port), svc)
+    print(f"serving on {args.host}:{args.port} "
+          f"(max_batch={args.max_batch}, "
+          f"max_wait_ms={args.max_wait_ms})")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        svc.close()
+
+
+if __name__ == "__main__":
+    main()

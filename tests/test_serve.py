@@ -1,0 +1,160 @@
+"""Serving layer (avsep_tpu/serve.py): dynamic batching correctness,
+padded-batch determinism, AV/AO request grouping, TCP wire round trip.
+
+Runs the tiny model on the CPU platform; the service's single compiled
+program per branch means results must be bit-identical to a direct
+``engine.separate`` call on the same padded batch with the same rng.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from avsep_tpu.engine import separate
+from avsep_tpu.serve import (
+    SeparationService, separate_remote, serve_forever, server_stats)
+from tests.test_train_step import tiny_cfg, tiny_nets
+
+AUDLEN = 64 * 256 - 1
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = tiny_cfg()
+    nets = tiny_nets(cfg)
+    rng = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(rng)
+    sound_vars = nets.sound.init(k1, jnp.zeros((2, 256, 64, 1)),
+                                 jnp.zeros((2, 2, 4, 4, 32)), train=False)
+    frame_vars = nets.frame.init(k2, jnp.zeros((2, 1, 64, 64, 3)),
+                                 pool=False, train=False)
+    params = {"sound": sound_vars["params"],
+              "frame": frame_vars["params"]}
+    stats = {"sound": sound_vars["batch_stats"],
+             "frame": frame_vars["batch_stats"]}
+    return cfg, nets, params, stats
+
+
+def mixes(n, seed=0):
+    rs = np.random.RandomState(seed)
+    return [(0.3 * np.sin(2 * np.pi * (200 + 50 * i)
+                          * np.arange(AUDLEN) / 11025)
+             + 0.05 * rs.randn(AUDLEN)).astype(np.float32)
+            for i in range(n)]
+
+
+def test_service_matches_direct_padded_call(model):
+    """Service output == direct separate() on the same padded batch with
+    the same rng (one program, one shape — bit-identical)."""
+    cfg, nets, params, stats = model
+    svc = SeparationService(cfg, nets, params, stats, max_batch=4,
+                            max_wait_ms=50.0, rng_seed=7)
+    try:
+        reqs = mixes(3)
+        futs = [svc.submit(m) for m in reqs]
+        outs = [f.result(timeout=300) for f in futs]
+    finally:
+        svc.close()
+
+    padded = np.zeros((4, AUDLEN), np.float32)
+    for i, m in enumerate(reqs):
+        padded[i] = np.clip(m, -1, 1)
+    _, sub = jax.random.split(jax.random.PRNGKey(7))
+    direct = np.asarray(jax.device_get(separate(
+        nets, params, stats, jnp.asarray(padded), None, cfg,
+        rng=sub)["wavs"]))
+    for i, out in enumerate(outs):
+        assert out.shape == direct[i].shape
+        np.testing.assert_array_equal(out, direct[i])
+
+
+def test_dynamic_batching_coalesces(model):
+    cfg, nets, params, stats = model
+    svc = SeparationService(cfg, nets, params, stats, max_batch=4,
+                            max_wait_ms=500.0)
+    try:
+        futs = [svc.submit(m) for m in mixes(4, seed=1)]
+        for f in futs:
+            assert np.isfinite(f.result(timeout=300)).all()
+        snap = svc.stats.snapshot()
+    finally:
+        svc.close()
+    assert snap["requests"] == 4
+    assert snap["dispatches"] == 1, "4 requests should coalesce"
+    assert snap["mean_batch"] == 4.0
+
+
+def test_av_and_ao_groups(model):
+    """Frames and no-frames requests in one wave are dispatched as two
+    groups through their own compiled programs."""
+    cfg, nets, params, stats = model
+    svc = SeparationService(cfg, nets, params, stats, max_batch=4,
+                            max_wait_ms=500.0)
+    try:
+        rs = np.random.RandomState(3)
+        frames = rs.rand(2, 1, 64, 64, 3).astype(np.float32)
+        f_av = svc.submit(mixes(1, seed=2)[0], frames=frames)
+        f_ao = svc.submit(mixes(1, seed=4)[0])
+        out_av = f_av.result(timeout=600)
+        out_ao = f_ao.result(timeout=600)
+    finally:
+        svc.close()
+    assert out_av.shape == out_ao.shape
+    assert np.isfinite(out_av).all() and np.isfinite(out_ao).all()
+    assert not np.array_equal(out_av, out_ao)
+
+
+def test_error_propagates_to_future(model):
+    cfg, nets, params, stats = model
+    svc = SeparationService(cfg, nets, params, stats, max_batch=2,
+                            max_wait_ms=1.0)
+    try:
+        # frames with a bogus rank make the jitted program's tracing fail;
+        # the worker must deliver the exception, not hang the future
+        fut = svc.submit(mixes(1)[0],
+                         frames=np.zeros((3, 3), np.float32))
+        with pytest.raises(Exception):
+            fut.result(timeout=300)
+    finally:
+        svc.close()
+
+
+def test_submit_after_close_raises(model):
+    cfg, nets, params, stats = model
+    svc = SeparationService(cfg, nets, params, stats)
+    svc.close()
+    with pytest.raises(RuntimeError):
+        svc.submit(mixes(1)[0])
+
+
+def test_tcp_round_trip(model):
+    cfg, nets, params, stats = model
+    svc = SeparationService(cfg, nets, params, stats, max_batch=2,
+                            max_wait_ms=2.0)
+    server = serve_forever(svc, port=0)
+    host, port = server.server_address
+    try:
+        results = {}
+
+        def call(i):
+            results[i] = separate_remote(host, port, mixes(1, seed=i)[0])
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert set(results) == {0, 1, 2}
+        for out in results.values():
+            assert out.shape[0] == cfg.num_mix
+            assert np.isfinite(out).all()
+        snap = server_stats(host, port)
+        assert snap["ok"] and snap["requests"] >= 3
+    finally:
+        server.shutdown()
+        svc.close()
