@@ -92,19 +92,35 @@ class SeparationService:
 
     def __init__(self, cfg: Config, nets: Nets, params, batch_stats,
                  max_batch: int = 8, max_wait_ms: float = 5.0,
-                 rng_seed: int = 0):
+                 rng_seed: int = 0, wire: str = "f32"):
+        if wire not in ("f32", "int16"):
+            raise ValueError(f"wire must be f32 or int16, got {wire!r}")
         self.cfg = cfg
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
+        self.wire = wire
         self.stats = ServiceStats()
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._rng = jax.random.PRNGKey(rng_seed)
 
         def jit_branch(with_frames: bool):
+            # wire="int16": audio crosses the host<->device boundary as
+            # int16 (mixes are clipped to [-1,1], so a fixed 32767 scale
+            # is exact to ~90 dB SNR) and de/re-quantization fuses into
+            # the device program — halves the transfer bytes on hosts
+            # where the wire dominates dispatch (the tunnel measurement
+            # in BENCH_NOTES.md "Serving layer").  Same idea as the
+            # training loader's --audio_wire (data/wire.py); opt-in, the
+            # default f32 wire is bit-exact.
             def run(a, f, rng):
-                return separate(nets, params, batch_stats, a, f, cfg,
+                if self.wire == "int16":
+                    a = a.astype(jnp.float32) / 32767.0
+                wavs = separate(nets, params, batch_stats, a, f, cfg,
                                 rng=rng)["wavs"]
+                if self.wire == "int16":
+                    wavs = jnp.rint(wavs * 32767.0).astype(jnp.int16)
+                return wavs
             return jax.jit(lambda a, rng: run(a, None, rng)) \
                 if not with_frames else jax.jit(run)
 
@@ -166,6 +182,8 @@ class SeparationService:
         mixes = np.zeros((B, self.cfg.audLen), np.float32)
         for i, (mix, _, _, _) in enumerate(group):
             mixes[i] = mix
+        if self.wire == "int16":
+            mixes = np.rint(mixes * 32767.0).astype(np.int16)
         self._rng, sub = jax.random.split(self._rng)
         t0 = time.perf_counter()
         if with_frames:
@@ -177,6 +195,8 @@ class SeparationService:
         else:
             wavs = self._run_ao(jnp.asarray(mixes), sub)
         wavs = np.asarray(jax.device_get(wavs))
+        if self.wire == "int16":
+            wavs = wavs.astype(np.float32) / 32767.0
         lat = (time.perf_counter() - t0) * 1e3
         self.stats.record(len(group), lat)
         for i, (_, _, fut, _) in enumerate(group):
@@ -323,6 +343,9 @@ def main():
     ap.add_argument("--port", type=int, default=7860)
     ap.add_argument("--max_batch", type=int, default=8)
     ap.add_argument("--max_wait_ms", type=float, default=5.0)
+    ap.add_argument("--wire", default="f32", choices=["f32", "int16"],
+                    help="host<->device audio encoding (int16 halves "
+                         "transfer bytes, ~90 dB SNR)")
     ap.add_argument("--ckpt", default="")
     ap.add_argument("--id", default="")
     args, rest = ap.parse_known_args()
@@ -343,7 +366,7 @@ def main():
 
     svc = SeparationService(cfg, nets, state.params, state.batch_stats,
                             max_batch=args.max_batch,
-                            max_wait_ms=args.max_wait_ms)
+                            max_wait_ms=args.max_wait_ms, wire=args.wire)
     server = SeparationServer((args.host, args.port), svc)
     print(f"serving on {args.host}:{args.port} "
           f"(max_batch={args.max_batch}, "

@@ -158,3 +158,26 @@ def test_tcp_round_trip(model):
     finally:
         server.shutdown()
         svc.close()
+
+
+def test_int16_wire_close_to_f32(model):
+    """wire=int16 halves host<->device transfer bytes; outputs must match
+    the f32 service to quantization accuracy.  Input quantization can
+    flip a borderline binary-mask bin, so the assertion is SNR-based
+    (>30 dB against the f32 output) rather than elementwise."""
+    cfg, nets, params, stats = model
+    req = mixes(2, seed=9)
+    outs = {}
+    for wire in ("f32", "int16"):
+        svc = SeparationService(cfg, nets, params, stats, max_batch=2,
+                                max_wait_ms=200.0, rng_seed=11, wire=wire)
+        try:
+            futs = [svc.submit(m) for m in req]
+            outs[wire] = [f.result(timeout=300) for f in futs]
+        finally:
+            svc.close()
+    for a, b in zip(outs["f32"], outs["int16"]):
+        assert b.dtype == np.float32 and np.abs(b).max() <= 1.0
+        diff = np.linalg.norm(a - b)
+        snr = 20 * np.log10(np.linalg.norm(a) / max(diff, 1e-12))
+        assert snr > 30.0, f"int16 wire SNR {snr:.1f} dB"

@@ -42,6 +42,7 @@ def main():
     ap.add_argument("--clients", type=int, default=8)
     ap.add_argument("--max_batch", type=int, default=16)
     ap.add_argument("--max_wait_ms", type=float, default=10.0)
+    ap.add_argument("--wire", default="f32", choices=["f32", "int16"])
     args = ap.parse_args()
 
     cfg = Config(arch_sound="unet7", num_channels=2, vis_channels=256,
@@ -52,7 +53,7 @@ def main():
     state = init_state(cfg, nets, jax.random.PRNGKey(0))
     svc = SeparationService(cfg, nets, state.params, state.batch_stats,
                             max_batch=args.max_batch,
-                            max_wait_ms=args.max_wait_ms)
+                            max_wait_ms=args.max_wait_ms, wire=args.wire)
 
     rs = np.random.RandomState(0)
     # distinct mixtures per request (tunnel memoization defeats repeats)
