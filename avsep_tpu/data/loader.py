@@ -32,6 +32,27 @@ class ConcatDataset:
         return self.datasets[k][i - int(self.offsets[k])]
 
 
+class ShardDataset:
+    """Disjoint per-process view of a map-style dataset (multi-host
+    ``dist_data=shard``, parallel/distributed.py): process ``index`` of
+    ``count`` owns global samples ``index, index+count, ...``, truncated
+    to ``n // count`` so every process sees the SAME length — processes
+    must stay in lockstep on the collective train programs, and a global
+    batch must never contain the same sample twice."""
+
+    def __init__(self, dataset, index: int, count: int):
+        assert 0 <= index < count
+        self.dataset = dataset
+        self.index = index
+        self.count = count
+
+    def __len__(self):
+        return len(self.dataset) // self.count
+
+    def __getitem__(self, i: int):
+        return self.dataset[self.index + i * self.count]
+
+
 def collate(samples: List[Dict]) -> Dict:
     """Stack array fields; keep str/object fields as lists."""
     out: Dict = {}

@@ -25,6 +25,7 @@ from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from avsep_tpu.config import Config
 from avsep_tpu.data.wire import audios_of
@@ -104,8 +105,12 @@ def _maybe_remat(fn, cfg: Config):
     return jax.checkpoint(fn) if cfg.remat else fn
 
 
-_IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
-_IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+# plain numpy on purpose: jnp.asarray at module scope would initialize
+# the XLA backend at import time, breaking multi-host bring-up (jax.
+# distributed.initialize must precede any backend touch — see main.py);
+# inside traced code these become compile-time constants either way
+_IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
 def normalize_frames(x: jnp.ndarray) -> jnp.ndarray:

@@ -191,7 +191,14 @@ def evaluate(cfg: Config, nets: Nets, params, batch_stats, loader, history,
                                "si-snr": float(metrics["si_sdr"][n])})
             if write_visuals and vis_budget > 0:
                 n_vis = min(vis_budget, len(batch["id"]))
-                out_h, preds_h = fetch(outputs), fetch(preds_wav)
+                # slice BEFORE fetching: under multi-host the fetch is an
+                # allgather, so ship only the n_vis rows being written,
+                # not the whole padded batch of spectrograms/waveforms
+                take = lambda t: jax.tree_util.tree_map(
+                    lambda x: x[:n_vis] if getattr(x, "ndim", 0) else x,
+                    t)
+                out_h, preds_h = fetch(take(outputs)), fetch(
+                    take(preds_wav))
                 if is_primary():  # fetch() is collective; writes are not
                     output_visuals(vis_root, cfg, batch, out_h, preds_h,
                                    n_vis, use_vis_eval)

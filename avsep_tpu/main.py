@@ -17,8 +17,13 @@ import time
 import jax
 import numpy as np
 
-from avsep_tpu.checkpoint import (
-    checkpoint, load_history, restore_checkpoint)
+# NOTE: multi-host bring-up (`--dist_nprocs N`) requires that NOTHING
+# touches the XLA backend before main() calls maybe_initialize — no
+# module-level jnp constants (the one offender was engine.py's ImageNet
+# stats, now plain numpy) and, as defense-in-depth, the heavyweight
+# orbax import (avsep_tpu.checkpoint) stays lazy inside main()/
+# _train_loop.  Regression guard: tests/test_multihost.py's runner uses
+# this exact shipped entry path with no early initialize.
 from avsep_tpu.config import Config, parse_args
 from avsep_tpu.data.dataset import MusicMixDataset
 from avsep_tpu.data.wire import encode_audio_wire
@@ -41,14 +46,27 @@ def build_loaders(cfg: Config, val_only: bool = False):
     Multi-host: in ``dist_data=replicate`` every process runs these
     loaders identically (deterministic datasets + order-preserving
     loaders) and ships only its own rows; in ``shard`` each process's
-    TRAIN loaders produce a disjoint ``batch/P`` stream (per-process
-    shuffle seeds) — val stays replicated either way so eval meters are
-    process-independent (parallel/distributed.py)."""
+    TRAIN loaders draw from a DISJOINT ``1/P`` partition of the dataset
+    (``ShardDataset`` stride view — a global batch can never contain a
+    sample twice, and every sample appears once per global epoch) at
+    ``batch/P`` rows per process — val stays replicated either way so
+    eval meters are process-independent (parallel/distributed.py)."""
     n_proc = jax.process_count()
     shard_hosts = n_proc > 1 and cfg.dist_data == "shard"
     train_bs = cfg.batch_size // n_proc if shard_hosts else cfg.batch_size
-    # distinct per-process shuffle streams in shard mode; 0 otherwise
-    seed_off = jax.process_index() * 7919 if shard_hosts else 0
+
+    def maybe_shard(ds):
+        if not shard_hosts:
+            return ds
+        from avsep_tpu.data.loader import ShardDataset
+        sh = ShardDataset(ds, jax.process_index(), n_proc)
+        if len(sh) < train_bs:
+            raise ValueError(
+                f"dist_data=shard: {len(ds)} samples / {n_proc} processes "
+                f"leaves {len(sh)} per process — fewer than the "
+                f"per-process batch {train_bs} (raise train_repeat or "
+                f"use dist_data=replicate)")
+        return sh
 
     val_cls = ProcessBatchLoader if int(cfg.workers) > 0 else BatchLoader
     val_ds = ConcatDataset([MusicMixDataset(p, cfg, split="val")
@@ -68,9 +86,9 @@ def build_loaders(cfg: Config, val_only: bool = False):
     # flowing while the main thread blocks in device dispatch.
     # workers=0 -> in-process thread loader (torch's workers=0 analogue).
     cls = ProcessBatchLoader if int(cfg.workers) > 0 else BatchLoader
-    mk = lambda ds, sh: cls(ds, train_bs, shuffle=sh,
+    mk = lambda ds, sh: cls(maybe_shard(ds), train_bs, shuffle=sh,
                             num_workers=max(1, int(cfg.workers)),
-                            seed=cfg.seed + seed_off, drop_last=True)
+                            seed=cfg.seed, drop_last=True)
     return mk(av_ds, True), mk(ao_ds, True), val_loader
 
 
@@ -126,6 +144,8 @@ def main(cfg: Config):
     rng = jax.random.PRNGKey(cfg.seed)
     rng, init_rng = jax.random.split(rng)
     state = init_state(cfg, nets, init_rng, mesh=mesh)
+
+    from avsep_tpu.checkpoint import load_history, restore_checkpoint
 
     history = new_history()
     start_i = 0
@@ -198,6 +218,8 @@ def main(cfg: Config):
 def _train_loop(cfg, nets, state, history, best_holder, start_i, rng, mesh,
                 step_av, step_ao, use_vis_fn, av_iter, ao_iter, val_loader,
                 iter_time, data_time, match_meter):
+    from avsep_tpu.checkpoint import checkpoint
+
     err_total = err_av = err_ao = 0.0
     av_count = ao_count = 0
 

@@ -23,11 +23,12 @@ processes:
     bit-identical to the single-process run — host work is replicated,
     device work is divided.  Right for host-cheap pipelines and for
     validating multi-host numerics.
-  - ``shard`` mode: every process loads only ``batch/P`` rows (disjoint
-    sample streams via per-process loader seeds) — host work divides
-    too.  The global batch is the concatenation of the per-process
-    blocks; different from (but statistically equivalent to) the
-    1-process batch sequence.
+  - ``shard`` mode: every process loads only ``batch/P`` rows from a
+    DISJOINT 1/P partition of the dataset (``data.loader.ShardDataset``
+    stride view) — host work divides too, every sample appears once per
+    global epoch, and a global batch never repeats a sample.  The batch
+    sequence differs from (but is statistically equivalent to) the
+    1-process run's.
 
 * **host-side readback** — :func:`fetch` replaces ``jax.device_get`` for
   trees that may contain non-addressable (cross-host sharded) arrays,
@@ -35,10 +36,12 @@ processes:
   through.  File writes (history, results.csv, checkpoints, media) are
   gated to the primary process via :func:`is_primary`.
 
-Checkpoints need no coordination: ``checkpoint.save_checkpoint``
-device_gets the (replicated) TrainState first, so the primary alone
-writes a host-resident checkpoint that any topology can restore
-(checkpoint.py).
+Checkpoints: EVERY process must call ``checkpoint.save_checkpoint`` —
+the orbax save synchronizes across processes internally, so a
+primary-only call deadlocks the job (measured; see checkpoint.py).
+device_get of the replicated TrainState is local per process; orbax
+coordinates so the host-resident checkpoint (restorable on any
+topology) is written once.
 
 Validated end-to-end by ``tests/test_multihost.py``: two CPU processes x
 two virtual devices vs one process x four devices produce matching loss

@@ -130,14 +130,30 @@ class SeparationService:
         self._t.start()
 
     # ------------------------------------------------------------- client
+    @property
+    def frames_shape(self):
+        """The ONE accepted frames shape per request.  Enforcing it at
+        submit keeps the AV branch a single compiled program (jax.jit
+        retraces per shape) and stops one client's malformed request
+        from poisoning a batched wave."""
+        T = 1 if self.cfg.one_frame else self.cfg.num_frames
+        return (self.cfg.num_mix, T, self.cfg.imgSize, self.cfg.imgSize,
+                3)
+
     def submit(self, audio_mix: np.ndarray,
                frames: Optional[np.ndarray] = None) -> Future:
         """audio_mix [L] float32 (truncated/zero-padded to cfg.audLen);
-        frames [2, 1, H, W, 3] float32 in [0,1] for visually-guided
+        frames ``self.frames_shape`` float32 in [0,1] for visually-guided
         separation, or None for audio-only.  Returns a Future resolving
         to [num_mix, L'] separated wavs."""
         if self._stop.is_set():
             raise RuntimeError("service is closed")
+        if frames is not None:
+            frames = np.asarray(frames, np.float32)
+            if frames.shape != self.frames_shape:
+                raise ValueError(
+                    f"frames must have shape {self.frames_shape}, got "
+                    f"{frames.shape}")
         mix = np.zeros(self.cfg.audLen, np.float32)
         n = min(len(audio_mix), self.cfg.audLen)
         mix[:n] = np.clip(audio_mix[:n], -1.0, 1.0)
@@ -145,12 +161,28 @@ class SeparationService:
         with self.stats.lock:
             self.stats.requests += 1
         self._q.put((mix, frames, fut, time.perf_counter()))
+        # submit/close race: if close() won, the worker is gone — fail
+        # this future instead of leaving it forever pending
+        if self._stop.is_set():
+            self._fail_pending()
         return fut
+
+    def _fail_pending(self):
+        """Resolve every still-queued future with an error (close path —
+        a pending `fut.result()` must never hang)."""
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None and not item[2].done():
+                item[2].set_exception(RuntimeError("service closed"))
 
     def close(self):
         self._stop.set()
         self._q.put(None)
         self._t.join(timeout=5.0)
+        self._fail_pending()
 
     # ------------------------------------------------------------- worker
     def _collect(self):
@@ -206,7 +238,7 @@ class SeparationService:
         while not self._stop.is_set():
             reqs = self._collect()
             if reqs is None:
-                return
+                break
             try:
                 self._dispatch_group(
                     [r for r in reqs if r[1] is None], with_frames=False)
@@ -217,6 +249,9 @@ class SeparationService:
                 for _, _, fut, _ in reqs:
                     if not fut.done():
                         fut.set_exception(e)
+        # requests still queued behind the stop/sentinel must not leave
+        # their futures pending forever
+        self._fail_pending()
 
 
 # ------------------------------------------------------------------ wire
@@ -250,9 +285,13 @@ def _recv_msg(sock):
 class _Handler(socketserver.BaseRequestHandler):
     def handle(self):
         svc: SeparationService = self.server.service  # type: ignore
-        try:
-            while True:
+        while True:
+            try:  # wire errors end the connection
                 header, payload = _recv_msg(self.request)
+            except (ConnectionError, OSError):
+                return
+            try:  # request-level errors are reported in-band and the
+                # (still framing-synchronized) connection keeps serving
                 if header["op"] == "stats":
                     _send_msg(self.request,
                               {"ok": True, **svc.stats.snapshot()})
@@ -269,13 +308,14 @@ class _Handler(socketserver.BaseRequestHandler):
                           {"ok": True, "shape": list(wavs.shape),
                            "payload_bytes": wavs.nbytes},
                           np.ascontiguousarray(wavs).tobytes())
-        except (ConnectionError, OSError):
-            return
-        except Exception as e:  # report request-level failures in-band
-            try:
-                _send_msg(self.request, {"ok": False, "error": repr(e)})
-            except OSError:
+            except (ConnectionError, OSError):
                 return
+            except Exception as e:
+                try:
+                    _send_msg(self.request,
+                              {"ok": False, "error": repr(e)})
+                except OSError:
+                    return
 
 
 class SeparationServer(socketserver.ThreadingTCPServer):

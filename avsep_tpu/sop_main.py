@@ -20,7 +20,10 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from avsep_tpu.checkpoint import checkpoint, load_history, restore_checkpoint
+# checkpoint (-> orbax) is imported lazily inside main() so multi-host
+# bring-up (maybe_initialize) stays ahead of heavyweight imports — the
+# hard rule is that no module-level code touches the XLA backend before
+# it (see avsep_tpu/main.py)
 from avsep_tpu.config import Config, parse_args
 from avsep_tpu.data.loader import DevicePrefetcher, iter_forever
 from avsep_tpu.data.wire import audios_of, encode_audio_wire
@@ -145,6 +148,9 @@ def main(cfg: Config):
     print("Model ID: {}".format(cfg.id))
     cfg = cfg.replace(ckpt=os.path.join(cfg.ckpt, cfg.id))
     makedirs(cfg.ckpt, remove=False)
+
+    from avsep_tpu.checkpoint import (
+        checkpoint, load_history, restore_checkpoint)
 
     mesh = make_mesh()
     nets = build_sop_nets(cfg)

@@ -334,3 +334,26 @@ def test_process_loader_skips_stale_epoch_tasks(manifest):
     ids = [b["id"][0] for b in loader]
     assert len(ids) == len(ds)
     loader.close()
+
+
+def test_shard_dataset_disjoint_cover_equal_length():
+    """ShardDataset (multi-host dist_data=shard): the P views partition
+    the dataset — pairwise disjoint, equal per-process length n//P, and
+    together covering every sample that any process can see (a global
+    batch must never repeat a sample; processes must stay in lockstep)."""
+    from avsep_tpu.data.loader import ShardDataset
+
+    class Ids:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            assert 0 <= i < 10
+            return i
+
+    shards = [ShardDataset(Ids(), p, 3) for p in range(3)]
+    assert all(len(s) == 3 for s in shards)  # 10 // 3, lockstep lengths
+    seen = [set(s[i] for i in range(len(s))) for s in shards]
+    assert seen[0] & seen[1] == set() and seen[1] & seen[2] == set() \
+        and seen[0] & seen[2] == set()
+    assert seen[0] | seen[1] | seen[2] == {0, 1, 2, 3, 4, 5, 6, 7, 8}

@@ -32,9 +32,10 @@ import json, sys
 sys.path.insert(0, repo)
 import jax
 jax.config.update("jax_platforms", "cpu")
-if int(nprocs) > 1:
-    # before any import that might touch the XLA backend (orbax does)
-    jax.distributed.initialize(coord, int(nprocs), int(pid))
+# NO early jax.distributed.initialize here: the shipped entry point must
+# bring up multi-host itself (main() calls maybe_initialize before any
+# backend touch — avsep_tpu.main defers its orbax import for exactly
+# this; a regression re-breaks `python -m avsep_tpu.main --dist_nprocs`)
 from avsep_tpu.config import Config
 from avsep_tpu.main import main
 

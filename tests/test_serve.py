@@ -113,11 +113,14 @@ def test_error_propagates_to_future(model):
     svc = SeparationService(cfg, nets, params, stats, max_batch=2,
                             max_wait_ms=1.0)
     try:
-        # frames with a bogus rank make the jitted program's tracing fail;
-        # the worker must deliver the exception, not hang the future
-        fut = svc.submit(mixes(1)[0],
-                         frames=np.zeros((3, 3), np.float32))
-        with pytest.raises(Exception):
+        # a dispatch-time failure (device error, OOM, ...) must be
+        # delivered on the future, not hang it; malformed frames are
+        # already rejected at submit (test_bad_frames_shape_rejected)
+        def boom(*a, **k):
+            raise RuntimeError("injected dispatch failure")
+        svc._run_ao = boom
+        fut = svc.submit(mixes(1)[0])
+        with pytest.raises(RuntimeError, match="injected"):
             fut.result(timeout=300)
     finally:
         svc.close()
@@ -181,3 +184,63 @@ def test_int16_wire_close_to_f32(model):
         diff = np.linalg.norm(a - b)
         snr = 20 * np.log10(np.linalg.norm(a) / max(diff, 1e-12))
         assert snr > 30.0, f"int16 wire SNR {snr:.1f} dB"
+
+
+def test_close_fails_pending_futures(model):
+    """Queued-but-undispatched requests must resolve with an error on
+    close(), never hang (review finding: the worker exited on _stop
+    without draining the queue)."""
+    cfg, nets, params, stats = model
+    svc = SeparationService(cfg, nets, params, stats, max_batch=2,
+                            max_wait_ms=5000.0)
+    # the worker collects the 1st wave and parks on the wait deadline;
+    # close() fires before dispatch
+    futs = [svc.submit(m) for m in mixes(3, seed=12)]
+    svc.close()
+    resolved = 0
+    for f in futs:
+        try:
+            f.result(timeout=60)
+            resolved += 1
+        except RuntimeError:
+            resolved += 1
+    assert resolved == 3, "every future must resolve (result or error)"
+
+
+def test_bad_frames_shape_rejected_at_submit(model):
+    """Shape validation at submit keeps one compiled AV program and
+    stops a malformed request from poisoning a batched wave."""
+    cfg, nets, params, stats = model
+    svc = SeparationService(cfg, nets, params, stats)
+    try:
+        with pytest.raises(ValueError):
+            svc.submit(mixes(1)[0],
+                       frames=np.zeros((2, 1, 32, 32, 3), np.float32))
+        assert svc.frames_shape == (2, 1, 64, 64, 3)
+    finally:
+        svc.close()
+
+
+def test_tcp_connection_survives_request_error(model):
+    """A request-level failure is reported in-band and the (framing-
+    synchronized) connection keeps serving (review finding: the handler
+    used to close the socket after any error)."""
+    import socket as _socket
+
+    cfg, nets, params, stats = model
+    svc = SeparationService(cfg, nets, params, stats, max_batch=2,
+                            max_wait_ms=2.0)
+    server = serve_forever(svc, port=0)
+    host, port = server.server_address
+    sock = _socket.create_connection((host, port))
+    try:
+        with pytest.raises(RuntimeError, match="server error"):
+            separate_remote(host, port, mixes(1)[0],
+                            frames=np.zeros((3, 3), np.float32),
+                            sock=sock)
+        out = separate_remote(host, port, mixes(1)[0], sock=sock)
+        assert out.shape[0] == cfg.num_mix
+    finally:
+        sock.close()
+        server.shutdown()
+        svc.close()
