@@ -145,6 +145,14 @@ class Config:
     profile_steps: int = 5           # number of profiled iterations
     remat: bool = False              # rematerialize net forwards in backward
     use_pallas: bool = False         # fused Pallas STFT/iSTFT kernels
+    # DFT backend for the on-device STFT/iSTFT (ops/stft.py):
+    #   fft          XLA rfft/irfft — bit-exact librosa parity (default).
+    #                XLA lowers n_fft=1022 to HIGHEST-precision conv chains
+    #                (~25% of separation device time, BENCH_NOTES trace).
+    #   matmul       one dense cos/sin einsum at 3-pass-bf16 MXU precision —
+    #                ~f32-accurate (>120 dB vs fft), fewer MXU passes.
+    #   matmul_fast  same einsum at 1-pass bf16.
+    dft: str = "fft"
     # Fuse the AV symmetric double pass (reference main.py:129+141 runs the
     # full U-Net twice on the same audio) into ONE doubled-batch forward.
     # EXACT in eval mode (running-average BN); in train mode the decoder

@@ -85,9 +85,10 @@ def batch_spectrograms(batch: Dict[str, jnp.ndarray], cfg: Config):
     if "mag_mix" in batch:
         return batch["mag_mix"], batch["mags"]
     mag_mix, _ = stft_magphase(audio_mix_of(batch), cfg.stft_frame,
-                               cfg.stft_hop, use_pallas=cfg.use_pallas)
+                               cfg.stft_hop, use_pallas=cfg.use_pallas,
+                               dft=cfg.dft)
     mags, _ = stft_magphase(audios_of(batch), cfg.stft_frame, cfg.stft_hop,
-                            use_pallas=cfg.use_pallas)
+                            use_pallas=cfg.use_pallas, dft=cfg.dft)
     return mag_mix, mags
 
 
@@ -382,7 +383,8 @@ def separate(nets: Nets, params, batch_stats, audio_mix: jnp.ndarray,
     """
     mag_mix, phase_mix = stft_magphase(audio_mix, cfg.stft_frame,
                                        cfg.stft_hop,
-                                       use_pallas=cfg.use_pallas)
+                                       use_pallas=cfg.use_pallas,
+                                       dft=cfg.dft)
     prep = prepare(mag_mix, mag_mix[:, None],  # mags unused here
                    log_freq=bool(cfg.log_freq), weighted_loss=False,
                    binary_mask=True)
@@ -437,7 +439,7 @@ def separate(nets: Nets, params, batch_stats, audio_mix: jnp.ndarray,
     pred_mag = mag_mix[:, None] * masks_linear
     wavs = istft(pred_mag.astype(jnp.complex64)
                  * jnp.exp(1j * phase_mix[:, None].astype(jnp.complex64)),
-                 hop=cfg.stft_hop, use_pallas=cfg.use_pallas)
+                 hop=cfg.stft_hop, use_pallas=cfg.use_pallas, dft=cfg.dft)
     wavs = jnp.clip(wavs, -1.0, 1.0)
     return {"wavs": wavs, "masks_linear": masks_linear, "masks": masks,
             "mag_mix": mag_mix, "phase_mix": phase_mix,

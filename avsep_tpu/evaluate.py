@@ -54,7 +54,8 @@ def _build_eval_step(cfg: Config, nets: Nets, use_vis: bool):
                                     rng, use_vis, train=False)
         mag_mix, phase_mix = stft_magphase(audio_mix_of(batch),
                                            cfg.stft_frame, cfg.stft_hop,
-                                           use_pallas=cfg.use_pallas)
+                                           use_pallas=cfg.use_pallas,
+                                           dft=cfg.dft)
         pred = outputs["pred_masks"]                       # [B, N, FO, T]
         if cfg.log_freq:
             pred_lin = unwarp_mask(pred, HO=cfg.HS)        # [B, N, F, T]
@@ -66,7 +67,8 @@ def _build_eval_step(cfg: Config, nets: Nets, use_vis: bool):
         spec = (mag_mix[:, None] * pred_lin).astype(jnp.complex64) \
             * jnp.exp(1j * phase_mix[:, None].astype(jnp.complex64))
         preds_wav = jnp.clip(
-            istft(spec, cfg.stft_hop, use_pallas=cfg.use_pallas),
+            istft(spec, cfg.stft_hop, use_pallas=cfg.use_pallas,
+                  dft=cfg.dft),
             -1.0, 1.0)
         L = preds_wav.shape[-1]
 

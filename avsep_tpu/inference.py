@@ -278,7 +278,7 @@ def pixelwise_demo(cfg: Config, duet_info, save_folder: str) -> None:
     @jax.jit
     def run(a, f):
         mag_mix, _ = stft_magphase(a, cfg.stft_frame, cfg.stft_hop,
-                                   use_pallas=cfg.use_pallas)
+                                   use_pallas=cfg.use_pallas, dft=cfg.dft)
         prep = prepare(mag_mix, mag_mix[:, None],
                        log_freq=bool(cfg.log_freq), weighted_loss=False,
                        binary_mask=True)

@@ -42,6 +42,75 @@ def hann_periodic(n: int, dtype=np.float32) -> np.ndarray:
     return (0.5 - 0.5 * np.cos(2.0 * np.pi * k / n)).astype(dtype)
 
 
+# --------------------------------------------------------------- explicit DFT
+#
+# XLA lowers the non-power-of-2 rfft/irfft (n_fft=1022) into a chain of
+# convolution HLOs pinned at operand_precision=HIGHEST (6-pass bf16 on the
+# MXU).  A profiler trace of the separation pipeline puts that chain at
+# ~25% of device time (STFT 8.0% + iSTFT 17.5%, BENCH_NOTES.md round-3
+# trace).  The ``dft="matmul"`` path below computes the same real DFT as
+# ONE dense einsum against precomputed cos/sin matrices at a chosen MXU
+# precision — HIGH (3-pass bf16, ~f32-accurate) or DEFAULT (1-pass bf16)
+# — trading bit-exactness with librosa for fewer MXU passes.  ``"fft"``
+# remains the default everywhere; the fast path is opt-in via
+# ``Config.dft`` exactly like ``use_pallas``.
+
+_DFT_PRECISION = {"matmul": jax.lax.Precision.HIGH,
+                  "matmul_fast": jax.lax.Precision.DEFAULT}
+
+
+@functools.lru_cache(maxsize=None)
+def _rdft_mats(n_fft: int):
+    """cos/sin forward real-DFT matrices ``[n_fft, F]`` (float32)."""
+    F = n_fft // 2 + 1
+    ang = (-2.0 * np.pi / n_fft) * np.arange(n_fft)[:, None] \
+        * np.arange(F)[None, :]
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _irdft_mats(n_fft: int):
+    """Inverse real-DFT matrices ``[F, n_fft]`` such that
+    ``x = Re(spec) @ A + Im(spec) @ B`` reproduces ``irfft(spec, n_fft)``
+    (bin 0 and, for even n_fft, the Nyquist bin carry weight 1/n and their
+    imaginary parts are discarded, matching numpy's irfft contract)."""
+    F = n_fft // 2 + 1
+    ang = (2.0 * np.pi / n_fft) * np.arange(F)[:, None] \
+        * np.arange(n_fft)[None, :]
+    c = np.full((F, 1), 2.0 / n_fft)
+    c[0, 0] = 1.0 / n_fft
+    if n_fft % 2 == 0:
+        c[-1, 0] = 1.0 / n_fft
+    A = (c * np.cos(ang)).astype(np.float32)
+    B = (-c * np.sin(ang)).astype(np.float32)
+    B[0] = 0.0          # irfft ignores Im at DC ...
+    if n_fft % 2 == 0:
+        B[-1] = 0.0     # ... and at Nyquist
+    return A, B
+
+
+def _rdft(frames: jnp.ndarray, n_fft: int, dft: str) -> jnp.ndarray:
+    """``frames [..., T, n_fft]`` -> complex ``[..., T, F]`` via one
+    cos/sin einsum at the precision selected by ``dft``."""
+    C, S = _rdft_mats(n_fft)
+    prec = _DFT_PRECISION[dft]
+    re = jnp.einsum("...tn,nf->...tf", frames, jnp.asarray(C),
+                    precision=prec)
+    im = jnp.einsum("...tn,nf->...tf", frames, jnp.asarray(S),
+                    precision=prec)
+    return jax.lax.complex(re, im)
+
+
+def _irdft(spec_tf: jnp.ndarray, n_fft: int, dft: str) -> jnp.ndarray:
+    """complex ``spec [..., T, F]`` -> real frames ``[..., T, n_fft]``."""
+    A, B = _irdft_mats(n_fft)
+    prec = _DFT_PRECISION[dft]
+    return (jnp.einsum("...tf,fn->...tn", jnp.real(spec_tf),
+                       jnp.asarray(A), precision=prec)
+            + jnp.einsum("...tf,fn->...tn", jnp.imag(spec_tf),
+                         jnp.asarray(B), precision=prec))
+
+
 def _reflect_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
     """Reflect padding (no edge repeat), matching np.pad(mode='reflect')."""
     return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
@@ -89,16 +158,21 @@ def overlap_add(frames: jnp.ndarray, hop: int, out_len: int) -> jnp.ndarray:
     return flat[..., :out_len]
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "hop", "use_pallas"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_fft", "hop", "use_pallas", "dft"))
 def stft(audio: jnp.ndarray, n_fft: int = 1022, hop: int = 256,
-         use_pallas: bool = False) -> jnp.ndarray:
+         use_pallas: bool = False, dft: str = "fft") -> jnp.ndarray:
     """Batched STFT of ``audio [..., L]`` -> complex ``[..., F, T]``.
 
     F = n_fft // 2 + 1, T = 1 + L // hop.  Matches
     ``librosa.stft(y, n_fft=1022, hop_length=256)`` (center=True, periodic
     Hann, reflect pad) to float32 tolerance.  ``use_pallas`` switches the
     framing+window stage to the fused Pallas kernel
-    (ops/pallas_kernels.frame_window); numerics are identical.
+    (ops/pallas_kernels.frame_window); numerics are identical.  ``dft``
+    selects the transform backend: ``"fft"`` (XLA rfft, bit-exact
+    default), ``"matmul"`` (explicit DFT einsum, 3-pass bf16 MXU,
+    ~f32-accurate) or ``"matmul_fast"`` (1-pass bf16) — see the module
+    note on the HIGHEST-precision fft lowering this sidesteps.
     """
     L = audio.shape[-1]
     pad = n_fft // 2
@@ -116,22 +190,26 @@ def stft(audio: jnp.ndarray, n_fft: int = 1022, hop: int = 256,
     else:
         window = jnp.asarray(hann_periodic(n_fft))
         frames = frame_signal(padded, n_frames, n_fft, hop) * window
-    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # [..., T, F]
+    if dft == "fft":
+        spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # [..., T, F]
+    else:
+        spec = _rdft(frames, n_fft, dft)
     return jnp.swapaxes(spec, -1, -2)  # [..., F, T]
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "hop", "use_pallas"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_fft", "hop", "use_pallas", "dft"))
 def stft_magphase(audio: jnp.ndarray, n_fft: int = 1022, hop: int = 256,
-                  use_pallas: bool = False):
+                  use_pallas: bool = False, dft: str = "fft"):
     """Magnitude and phase like the reference ``_stft``
     (reference ``dataset/base.py:142-147``)."""
-    spec = stft(audio, n_fft=n_fft, hop=hop, use_pallas=use_pallas)
+    spec = stft(audio, n_fft=n_fft, hop=hop, use_pallas=use_pallas, dft=dft)
     return jnp.abs(spec), jnp.angle(spec)
 
 
-@functools.partial(jax.jit, static_argnames=("hop", "use_pallas"))
+@functools.partial(jax.jit, static_argnames=("hop", "use_pallas", "dft"))
 def istft(spec: jnp.ndarray, hop: int = 256,
-          use_pallas: bool = False) -> jnp.ndarray:
+          use_pallas: bool = False, dft: str = "fft") -> jnp.ndarray:
     """Batched inverse STFT of complex ``spec [..., F, T]`` -> ``[..., L]``.
 
     Matches ``librosa.istft(spec, hop_length=256)`` (window='hann',
@@ -144,7 +222,11 @@ def istft(spec: jnp.ndarray, hop: int = 256,
     pad = n_fft // 2
     window = hann_periodic(n_fft)
 
-    frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
+    spec_tf = jnp.swapaxes(spec, -1, -2)
+    if dft == "fft":
+        frames = jnp.fft.irfft(spec_tf, n=n_fft, axis=-1)
+    else:
+        frames = _irdft(spec_tf, n_fft, dft)
     frames = frames * jnp.asarray(window)  # [..., T, n_fft]
 
     full_len = n_fft + hop * (T - 1)

@@ -272,7 +272,8 @@ def _build_sop_eval_step(cfg, nets, use_vis: bool):
         from avsep_tpu.engine import audio_mix_of
         mag_mix, phase_mix = stft_magphase(audio_mix_of(dev), cfg.stft_frame,
                                            cfg.stft_hop,
-                                           use_pallas=cfg.use_pallas)
+                                           use_pallas=cfg.use_pallas,
+                                           dft=cfg.dft)
         pred = outputs["pred_masks"]
         if cfg.log_freq:
             pred = unwarp_mask(pred, HO=cfg.HS)
@@ -280,8 +281,8 @@ def _build_sop_eval_step(cfg, nets, use_vis: bool):
             pred = (pred > cfg.mask_thres).astype(jnp.float32)
         spec = (mag_mix[:, None] * pred).astype(jnp.complex64) * \
             jnp.exp(1j * phase_mix[:, None].astype(jnp.complex64))
-        wavs = jnp.clip(istft(spec, cfg.stft_hop,
-                              use_pallas=cfg.use_pallas), -1, 1)
+        wavs = jnp.clip(istft(spec, cfg.stft_hop, use_pallas=cfg.use_pallas,
+                              dft=cfg.dft), -1, 1)
         # all-zero predictions -> noise floor so a dead mask scores a
         # large negative SDR instead of a spurious 0 dB (main harness /
         # reference main.py:248-249 parity)

@@ -64,7 +64,11 @@ def tpu_throughput():
                  fusion_type="hidsep", att_type="sig", not_pool_vis=False,
                  img_activation="relu", output_activation="sigmoid",
                  binary_mask=1, weighted_loss=1, log_freq=1, one_frame=True,
-                 use_pallas=jax.default_backend() == "tpu")
+                 use_pallas=jax.default_backend() == "tpu",
+                 # explicit-DFT STFT/iSTFT (one cos/sin einsum at 3-pass
+                 # bf16): +27% over the XLA fft lowering at 96.6 dB wav
+                 # SNR vs the bit-exact path (BENCH_NOTES round-3 DFT A/B)
+                 dft="matmul")
     nets = build_nets(cfg)
     # init params with eval_shape + CPU-side PRNG so no TPU compile is spent
     # on initialization (only the measured fn compiles on device)

@@ -92,3 +92,23 @@ def test_batched_equals_single():
     for i in range(4):
         single = np.asarray(stft(jnp.asarray(xs[i]), N_FFT, HOP))
         np.testing.assert_allclose(batched[i], single, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("dft", ["matmul", "matmul_fast"])
+def test_matmul_dft_matches_fft(dft):
+    """The explicit-DFT path (``dft="matmul*"``, ops/stft.py) must agree
+    with the XLA fft path.  On CPU every MXU precision level computes in
+    full float32, so this pins the MATH (matrices, Nyquist/DC handling,
+    layout); on-chip precision deltas are characterized in
+    BENCH_NOTES.md."""
+    rs = np.random.RandomState(7)
+    x = (rs.randn(3, AUDLEN) * 0.1).astype(np.float32)
+    ref = np.asarray(stft(jnp.asarray(x), N_FFT, HOP))
+    got = np.asarray(stft(jnp.asarray(x), N_FFT, HOP, dft=dft))
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 2e-6
+
+    spec = jnp.asarray(ref)
+    wav_ref = np.asarray(istft(spec, HOP))
+    wav_got = np.asarray(istft(spec, HOP, dft=dft))
+    assert np.abs(wav_got - wav_ref).max() < 2e-6
