@@ -5,7 +5,7 @@ backward, SGD update) over PRNG-generated synthetic batches — same timing
 methodology as bench.py (see BENCH_NOTES.md).  Prints steps/s and
 clips/s (global batch per step).
 
-Usage: python tools/train_throughput.py [batch_per_step] [n_steps] [dtype]
+Usage: python tools/train_throughput.py [batch_per_step] [n_steps] [dtype] [dft]
 """
 
 import os
@@ -18,7 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def main(batch: int = 8, n_steps: int = 8, dtype: str = "float32"):
+def main(batch: int = 8, n_steps: int = 8, dtype: str = "float32",
+         dft: str = "fft"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -36,7 +37,7 @@ def main(batch: int = 8, n_steps: int = 8, dtype: str = "float32"):
                  fusion_type="hidsep", att_type="sig", not_pool_vis=False,
                  img_activation="relu", output_activation="sigmoid",
                  binary_mask=1, weighted_loss=1, log_freq=1, loss="bce",
-                 one_frame=True, match_weight=0.1, dtype=dtype)
+                 one_frame=True, match_weight=0.1, dtype=dtype, dft=dft)
     nets = build_nets(cfg)
     state = init_state(cfg, nets, jax.random.PRNGKey(0))
     opt = make_optimizer(cfg, state.params)
@@ -88,4 +89,5 @@ if __name__ == "__main__":
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     dt = sys.argv[3] if len(sys.argv) > 3 else "float32"
-    main(b, n, dt)
+    df = sys.argv[4] if len(sys.argv) > 4 else "fft"
+    main(b, n, dt, df)
