@@ -89,11 +89,19 @@ def _irdft_mats(n_fft: int):
     return A, B
 
 
+def _dft_precision(dft: str):
+    if dft not in _DFT_PRECISION:
+        raise ValueError(
+            f"dft must be one of 'fft', 'matmul', 'matmul_fast'; got "
+            f"{dft!r}")
+    return _DFT_PRECISION[dft]
+
+
 def _rdft(frames: jnp.ndarray, n_fft: int, dft: str) -> jnp.ndarray:
     """``frames [..., T, n_fft]`` -> complex ``[..., T, F]`` via one
     cos/sin einsum at the precision selected by ``dft``."""
     C, S = _rdft_mats(n_fft)
-    prec = _DFT_PRECISION[dft]
+    prec = _dft_precision(dft)
     re = jnp.einsum("...tn,nf->...tf", frames, jnp.asarray(C),
                     precision=prec)
     im = jnp.einsum("...tn,nf->...tf", frames, jnp.asarray(S),
@@ -104,7 +112,7 @@ def _rdft(frames: jnp.ndarray, n_fft: int, dft: str) -> jnp.ndarray:
 def _irdft(spec_tf: jnp.ndarray, n_fft: int, dft: str) -> jnp.ndarray:
     """complex ``spec [..., T, F]`` -> real frames ``[..., T, n_fft]``."""
     A, B = _irdft_mats(n_fft)
-    prec = _DFT_PRECISION[dft]
+    prec = _dft_precision(dft)
     return (jnp.einsum("...tf,fn->...tn", jnp.real(spec_tf),
                        jnp.asarray(A), precision=prec)
             + jnp.einsum("...tf,fn->...tn", jnp.imag(spec_tf),

@@ -112,3 +112,8 @@ def test_matmul_dft_matches_fft(dft):
     wav_ref = np.asarray(istft(spec, HOP))
     wav_got = np.asarray(istft(spec, HOP, dft=dft))
     assert np.abs(wav_got - wav_ref).max() < 2e-6
+
+
+def test_unknown_dft_backend_rejected():
+    with pytest.raises(ValueError, match="dft must be one of"):
+        stft(jnp.zeros((2, AUDLEN)), N_FFT, HOP, dft="bogus")
