@@ -14,7 +14,8 @@ For (a) the batched separation pipeline and (b) the full AV train step:
   sub-programs with the same scan methodology, since device profiler
   traces are not exposed through the axon tunnel.
 
-Usage: python tools/mfu_report.py [batch] [n_steps]
+Usage: python tools/mfu_report.py [batch] [n_steps] [dft]
+(dft != "fft" writes MFU_REPORT_<dft>.json instead)
 Writes MFU_REPORT.json at the repo root and prints a summary table.
 """
 
@@ -53,7 +54,7 @@ def _timed(fn, *args, reps: int = 2) -> float:
     return best
 
 
-def main(batch: int = 32, n_steps: int = 16):
+def main(batch: int = 32, n_steps: int = 16, dft: str = "fft"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -73,7 +74,7 @@ def main(batch: int = 32, n_steps: int = 16):
                  fusion_type="hidsep", att_type="sig", not_pool_vis=False,
                  img_activation="relu", output_activation="sigmoid",
                  binary_mask=1, weighted_loss=1, log_freq=1, loss="bce",
-                 one_frame=True, match_weight=0.1)
+                 one_frame=True, match_weight=0.1, dft=dft)
     nets = build_nets(cfg)
     state = init_state(cfg, nets, jax.random.PRNGKey(0))
     opt = make_optimizer(cfg, state.params)
@@ -91,10 +92,11 @@ def main(batch: int = 32, n_steps: int = 16):
     def piece_prepare(key):
         b = gen_batch(key)
         mix = jnp.sum(b["audios"], 1) / 2
-        mag, _ = stft_magphase(mix, cfg.stft_frame, cfg.stft_hop)
+        mag, _ = stft_magphase(mix, cfg.stft_frame, cfg.stft_hop,
+                               dft=cfg.dft)
         mags = jnp.stack([stft_magphase(b["audios"][:, i], cfg.stft_frame,
-                                        cfg.stft_hop)[0] for i in range(2)],
-                         1)
+                                        cfg.stft_hop, dft=cfg.dft)[0]
+                          for i in range(2)], 1)
         p = prepare(mag, mags, log_freq=True, weighted_loss=True,
                     binary_mask=True)
         return jnp.sum(p.log_mag_mix) + jnp.sum(p.gt_masks)
@@ -153,7 +155,7 @@ def main(batch: int = 32, n_steps: int = 16):
             piece_trainstep, (params, stats, opt_state), keys)
         return jnp.sum(errs)
 
-    report = {"batch": batch, "n_steps": n_steps,
+    report = {"batch": batch, "n_steps": n_steps, "dft": dft,
               "device": str(dev), "peak_bf16_flops": V5E_PEAK_BF16}
 
     # FLOPs of single-step programs (cost analysis on the unscanned step —
@@ -234,8 +236,10 @@ def main(batch: int = 32, n_steps: int = 16):
     for k, v in report["train_step_breakdown_pct"].items():
         print(f"  {k:32s} {v:5.1f}%")
 
+    fname = ("MFU_REPORT.json" if dft == "fft"
+             else f"MFU_REPORT_{dft}.json")
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "MFU_REPORT.json")
+        os.path.abspath(__file__))), fname)
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
     print(f"report written to {out}")
@@ -244,4 +248,5 @@ def main(batch: int = 32, n_steps: int = 16):
 if __name__ == "__main__":
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    main(b, n)
+    df = sys.argv[3] if len(sys.argv) > 3 else "fft"
+    main(b, n, df)
