@@ -116,6 +116,19 @@ class SeparationService:
             def run(a, f, rng):
                 if self.wire == "int16":
                     a = a.astype(jnp.float32) / 32767.0
+                if f is not None:
+                    # the serving contract is RGB in [0,1]; the model was
+                    # trained on ImageNet-normalized inputs (the dataset
+                    # wire is uint8, normalized on device by
+                    # engine.normalize_frames' uint8 branch — float
+                    # inputs pass through it unchanged, so the service
+                    # must apply the same normalization itself or AV
+                    # requests silently feed the vision net raw [0,1]
+                    # pixels)
+                    from avsep_tpu.engine import (
+                        _IMAGENET_MEAN, _IMAGENET_STD)
+                    f = (f - jnp.asarray(_IMAGENET_MEAN)) \
+                        / jnp.asarray(_IMAGENET_STD)
                 wavs = separate(nets, params, batch_stats, a, f, cfg,
                                 rng=rng)["wavs"]
                 if self.wire == "int16":
@@ -143,12 +156,17 @@ class SeparationService:
     def submit(self, audio_mix: np.ndarray,
                frames: Optional[np.ndarray] = None) -> Future:
         """audio_mix [L] float32 (truncated/zero-padded to cfg.audLen);
-        frames ``self.frames_shape`` float32 in [0,1] for visually-guided
-        separation, or None for audio-only.  Returns a Future resolving
-        to [num_mix, L'] separated wavs."""
+        frames ``self.frames_shape`` RGB in [0,1] float32 (uint8 [0,255]
+        also accepted) for visually-guided separation, or None for
+        audio-only.  ImageNet normalization is applied on device inside
+        the compiled program (matching the training pipeline).  Returns
+        a Future resolving to [num_mix, L'] separated wavs."""
         if self._stop.is_set():
             raise RuntimeError("service is closed")
         if frames is not None:
+            frames = np.asarray(frames)
+            if frames.dtype == np.uint8:
+                frames = frames.astype(np.float32) / 255.0
             frames = np.asarray(frames, np.float32)
             if frames.shape != self.frames_shape:
                 raise ValueError(

@@ -244,3 +244,41 @@ def test_tcp_connection_survives_request_error(model):
         sock.close()
         server.shutdown()
         svc.close()
+
+
+def test_av_frames_are_imagenet_normalized(model):
+    """The serving contract is frames in [0,1]; the model was trained on
+    ImageNet-normalized inputs, so the service must apply the same
+    normalization on device (review finding: float frames pass through
+    engine.normalize_frames unchanged, so served AV requests used to feed
+    the vision net raw pixels).  Service output must equal a direct
+    separate() call on explicitly normalized frames, and a uint8 submit
+    must match its float/255 equivalent."""
+    from avsep_tpu.engine import _IMAGENET_MEAN, _IMAGENET_STD
+
+    cfg, nets, params, stats = model
+    svc = SeparationService(cfg, nets, params, stats, max_batch=1,
+                            max_wait_ms=1.0, rng_seed=3)
+    try:
+        mix = mixes(1, seed=5)[0]
+        rs = np.random.RandomState(11)
+        frames_u8 = rs.randint(0, 256, size=svc.frames_shape,
+                               dtype=np.uint8)
+        frames = frames_u8.astype(np.float32) / 255.0
+        got = svc.submit(mix, frames=frames).result(timeout=300)
+
+        m = np.zeros(cfg.audLen, np.float32)
+        m[:len(mix)] = np.clip(mix[:cfg.audLen], -1, 1)
+        f_norm = (frames - _IMAGENET_MEAN) / _IMAGENET_STD
+        want = np.asarray(separate(
+            nets, params, stats, jnp.asarray(m[None]),
+            jnp.asarray(f_norm[None]), cfg,
+            rng=jax.random.fold_in(jax.random.PRNGKey(3), 1))["wavs"][0])
+        # same compiled math modulo batching plumbing
+        assert np.allclose(got, want, atol=1e-5), (
+            np.abs(got - want).max())
+
+        got_u8 = svc.submit(mix, frames=frames_u8).result(timeout=300)
+        assert np.allclose(got_u8, got, atol=1e-5)
+    finally:
+        svc.close()
