@@ -274,9 +274,13 @@ class SeparationService:
 
 # ------------------------------------------------------------------ wire
 # length-prefixed frames: uint32 header_len | json header | raw payload.
-# Request header: {"op": "separate"|"stats", "n": L, "frames_shape": [...]}
-# with payload = mix f32 bytes [+ frames f32 bytes].  Response header:
-# {"ok": true, "shape": [...]} with payload = wavs f32 bytes.
+# Request header: {"op": "separate"|"stats", "n": L, "frames_shape": [...],
+# "frames_dtype": "f32"|"u8"} with payload = mix f32 bytes [+ frames
+# bytes].  A uint8 frames wire quarters the AV request payload — on
+# wire-bound hosts (the tunnel serving measurements in BENCH_NOTES) the
+# frames dominate request bytes; [0,1] floats from e.g. jpg decode are
+# exactly representable as u8 anyway.  Response header: {"ok": true,
+# "shape": [...]} with payload = wavs f32 bytes.
 
 def _send_msg(sock, header: dict, payload: bytes = b""):
     hj = json.dumps(header).encode()
@@ -318,9 +322,10 @@ class _Handler(socketserver.BaseRequestHandler):
                 frames = None
                 if header.get("frames_shape"):
                     fs = tuple(header["frames_shape"])
+                    fdt = (np.uint8 if header.get("frames_dtype") == "u8"
+                           else np.float32)
                     frames = np.frombuffer(
-                        payload[4 * header["n"]:],
-                        np.float32).reshape(fs)
+                        payload[4 * header["n"]:], fdt).reshape(fs)
                 wavs = svc.submit(mix, frames).result()
                 _send_msg(self.request,
                           {"ok": True, "shape": list(wavs.shape),
@@ -366,8 +371,14 @@ def separate_remote(host: str, port: int, mix: np.ndarray,
                   "payload_bytes": mix.nbytes}
         payload = mix.tobytes()
         if frames is not None:
-            frames = np.ascontiguousarray(frames, np.float32)
+            # uint8 input rides the wire as-is (1/4 the bytes; the server
+            # maps u8 -> /255 -> ImageNet-normalize on device)
+            if np.asarray(frames).dtype != np.uint8:
+                frames = np.ascontiguousarray(frames, np.float32)
+            frames = np.ascontiguousarray(frames)
             header["frames_shape"] = list(frames.shape)
+            header["frames_dtype"] = ("u8" if frames.dtype == np.uint8
+                                      else "f32")
             header["payload_bytes"] += frames.nbytes
             payload += frames.tobytes()
         _send_msg(sock, header, payload)

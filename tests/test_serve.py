@@ -282,3 +282,25 @@ def test_av_frames_are_imagenet_normalized(model):
         assert np.allclose(got_u8, got, atol=1e-5)
     finally:
         svc.close()
+
+
+def test_u8_frames_wire_matches_f32(model):
+    """uint8 frames over TCP (1/4 the AV request bytes) must produce the
+    same wavs as the f32 wire carrying the identical /255 values."""
+    cfg, nets, params, stats = model
+    svc = SeparationService(cfg, nets, params, stats, max_batch=1,
+                            max_wait_ms=1.0)
+    server = serve_forever(svc, port=0)
+    host, port = server.server_address
+    try:
+        mix = mixes(1, seed=9)[0]
+        rs = np.random.RandomState(3)
+        f_u8 = rs.randint(0, 256, size=svc.frames_shape, dtype=np.uint8)
+        out_u8 = separate_remote(host, port, mix, frames=f_u8)
+        out_f32 = separate_remote(host, port, mix,
+                                  frames=f_u8.astype(np.float32) / 255.0)
+        assert out_u8.shape[0] == cfg.num_mix
+        assert np.allclose(out_u8, out_f32, atol=1e-6)
+    finally:
+        server.shutdown()
+        svc.close()
