@@ -92,13 +92,18 @@ class SeparationService:
 
     def __init__(self, cfg: Config, nets: Nets, params, batch_stats,
                  max_batch: int = 8, max_wait_ms: float = 5.0,
-                 rng_seed: int = 0, wire: str = "f32"):
+                 rng_seed: int = 0, wire: str = "f32",
+                 frames_wire: str = "f32"):
         if wire not in ("f32", "int16"):
             raise ValueError(f"wire must be f32 or int16, got {wire!r}")
+        if frames_wire not in ("f32", "u8"):
+            raise ValueError(
+                f"frames_wire must be f32 or u8, got {frames_wire!r}")
         self.cfg = cfg
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
         self.wire = wire
+        self.frames_wire = frames_wire
         self.stats = ServiceStats()
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
@@ -124,9 +129,13 @@ class SeparationService:
                     # inputs pass through it unchanged, so the service
                     # must apply the same normalization itself or AV
                     # requests silently feed the vision net raw [0,1]
-                    # pixels)
+                    # pixels).  frames_wire="u8": the batch crosses the
+                    # host<->device boundary as uint8 (1/4 the bytes,
+                    # same idea as wire="int16") and /255 fuses here.
                     from avsep_tpu.engine import (
                         _IMAGENET_MEAN, _IMAGENET_STD)
+                    if self.frames_wire == "u8":
+                        f = f.astype(jnp.float32) * (1.0 / 255.0)
                     f = (f - jnp.asarray(_IMAGENET_MEAN)) \
                         / jnp.asarray(_IMAGENET_STD)
                 wavs = separate(nets, params, batch_stats, a, f, cfg,
@@ -165,9 +174,16 @@ class SeparationService:
             raise RuntimeError("service is closed")
         if frames is not None:
             frames = np.asarray(frames)
-            if frames.dtype == np.uint8:
-                frames = frames.astype(np.float32) / 255.0
-            frames = np.asarray(frames, np.float32)
+            if self.frames_wire == "u8":
+                # ship uint8 to the device (submit-time quantization of
+                # float inputs is documented; 8-bit matches jpg sources)
+                if frames.dtype != np.uint8:
+                    frames = np.rint(
+                        np.clip(frames, 0.0, 1.0) * 255.0).astype(np.uint8)
+            else:
+                if frames.dtype == np.uint8:
+                    frames = frames.astype(np.float32) / 255.0
+                frames = np.asarray(frames, np.float32)
             if frames.shape != self.frames_shape:
                 raise ValueError(
                     f"frames must have shape {self.frames_shape}, got "
@@ -415,6 +431,11 @@ def main():
     ap.add_argument("--wire", default="f32", choices=["f32", "int16"],
                     help="host<->device audio encoding (int16 halves "
                          "transfer bytes, ~90 dB SNR)")
+    ap.add_argument("--frames_wire", default="f32",
+                    choices=["f32", "u8"],
+                    help="host<->device frames encoding (u8 quarters "
+                         "transfer bytes; float submits are quantized "
+                         "to 8-bit, the precision of jpg sources)")
     ap.add_argument("--ckpt", default="")
     ap.add_argument("--id", default="")
     args, rest = ap.parse_known_args()
@@ -435,7 +456,8 @@ def main():
 
     svc = SeparationService(cfg, nets, state.params, state.batch_stats,
                             max_batch=args.max_batch,
-                            max_wait_ms=args.max_wait_ms, wire=args.wire)
+                            max_wait_ms=args.max_wait_ms, wire=args.wire,
+                            frames_wire=args.frames_wire)
     server = SeparationServer((args.host, args.port), svc)
     print(f"serving on {args.host}:{args.port} "
           f"(max_batch={args.max_batch}, "

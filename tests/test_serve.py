@@ -304,3 +304,25 @@ def test_u8_frames_wire_matches_f32(model):
     finally:
         server.shutdown()
         svc.close()
+
+
+def test_frames_wire_u8_service_matches_f32(model):
+    """frames_wire="u8" (uint8 host->device, /255 fused into the device
+    program) must match the f32-wire service on 8-bit-exact inputs."""
+    cfg, nets, params, stats = model
+    mix = mixes(1, seed=21)[0]
+    rs = np.random.RandomState(13)
+
+    def serve_once(frames_wire, frames):
+        svc = SeparationService(cfg, nets, params, stats, max_batch=1,
+                                max_wait_ms=1.0, rng_seed=5,
+                                frames_wire=frames_wire)
+        try:
+            return svc.submit(mix, frames=frames).result(timeout=300)
+        finally:
+            svc.close()
+
+    f_u8 = rs.randint(0, 256, size=(2, 1, 64, 64, 3), dtype=np.uint8)
+    out_u8 = serve_once("u8", f_u8)
+    out_f32 = serve_once("f32", f_u8.astype(np.float32) / 255.0)
+    assert np.allclose(out_u8, out_f32, atol=1e-5)
