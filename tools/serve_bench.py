@@ -7,6 +7,7 @@ BENCH_NOTES.md), and reports requests/s, effective clips/s, mean batch
 size, and dispatch latency percentiles.
 
     python tools/serve_bench.py [--n 256] [--clients 8] [--max_batch 16]
+                                [--av] [--frames_wire f32|u8]
 
 Unlike bench.py (pure on-device sweep: the speed-of-light number), this
 measures the deployment path: host-generated audio crosses the wire per
@@ -43,6 +44,10 @@ def main():
     ap.add_argument("--max_batch", type=int, default=16)
     ap.add_argument("--max_wait_ms", type=float, default=10.0)
     ap.add_argument("--wire", default="f32", choices=["f32", "int16"])
+    ap.add_argument("--av", action="store_true",
+                    help="visually-guided requests (frames attached)")
+    ap.add_argument("--frames_wire", default="f32",
+                    choices=["f32", "u8"])
     args = ap.parse_args()
 
     cfg = Config(arch_sound="unet7", num_channels=2, vis_channels=256,
@@ -53,14 +58,22 @@ def main():
     state = init_state(cfg, nets, jax.random.PRNGKey(0))
     svc = SeparationService(cfg, nets, state.params, state.batch_stats,
                             max_batch=args.max_batch,
-                            max_wait_ms=args.max_wait_ms, wire=args.wire)
+                            max_wait_ms=args.max_wait_ms, wire=args.wire,
+                            frames_wire=args.frames_wire)
 
     rs = np.random.RandomState(0)
     # distinct mixtures per request (tunnel memoization defeats repeats)
     mix_bank = rs.randn(args.n, cfg.audLen).astype(np.float32) * 0.1
+    # AV mode: one distinct uint8 frame pair per request (u8 keeps the
+    # submit cheap; the f32 wire converts at submit)
+    frame_bank = (rs.randint(0, 256, size=(args.n,) + svc.frames_shape,
+                             dtype=np.uint8) if args.av else None)
+
+    def req_frames(i):
+        return frame_bank[i] if args.av else None
 
     print("warmup (compile)...")
-    svc.submit(mix_bank[0]).result()
+    svc.submit(mix_bank[0], frames=req_frames(0)).result()
 
     lat_lock = threading.Lock()
     lats = []
@@ -74,7 +87,7 @@ def main():
             if i is None:
                 return
             t0 = time.perf_counter()
-            svc.submit(mix_bank[i]).result()
+            svc.submit(mix_bank[i], frames=req_frames(i)).result()
             with lat_lock:
                 lats.append((time.perf_counter() - t0) * 1e3)
 
@@ -91,7 +104,9 @@ def main():
     lats.sort()
     snap = svc.stats.snapshot()
     print(f"requests: {args.n}  clients: {args.clients}  "
-          f"max_batch: {args.max_batch}  wall: {wall:.2f}s")
+          f"max_batch: {args.max_batch}  wall: {wall:.2f}s  "
+          f"mode: {'AV' if args.av else 'AO'}"
+          + (f"  frames_wire: {args.frames_wire}" if args.av else ""))
     print(f"throughput: {args.n / wall:.1f} req/s "
           f"(= clips/s; {args.n / wall * 60:.0f} clips/min)")
     print(f"mean dynamic batch: {snap['mean_batch']:.2f}  "
