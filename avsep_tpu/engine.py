@@ -114,6 +114,13 @@ _IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 _IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
+def imagenet_normalize(x: jnp.ndarray) -> jnp.ndarray:
+    """(x - ImageNet mean) / std for float RGB in [0, 1] (public helper —
+    the single place the training-time normalization constants are
+    applied; serve.py reuses it so the serving path cannot drift)."""
+    return (x - _IMAGENET_MEAN) / _IMAGENET_STD
+
+
 def normalize_frames(x: jnp.ndarray) -> jnp.ndarray:
     """uint8 wire-format frames -> ImageNet-normalized float32, on device.
 
@@ -124,8 +131,7 @@ def normalize_frames(x: jnp.ndarray) -> jnp.ndarray:
     the dtype dispatch is static under jit.
     """
     if x.dtype == jnp.uint8:
-        x = x.astype(jnp.float32) * (1.0 / 255.0)
-        return (x - _IMAGENET_MEAN) / _IMAGENET_STD
+        return imagenet_normalize(x.astype(jnp.float32) * (1.0 / 255.0))
     return x
 
 

@@ -127,17 +127,18 @@ class SeparationService:
                     # wire is uint8, normalized on device by
                     # engine.normalize_frames' uint8 branch — float
                     # inputs pass through it unchanged, so the service
-                    # must apply the same normalization itself or AV
-                    # requests silently feed the vision net raw [0,1]
-                    # pixels).  frames_wire="u8": the batch crosses the
+                    # must normalize [0,1] floats itself or AV requests
+                    # silently feed the vision net raw pixels.
+                    # frames_wire="u8": the batch crosses the
                     # host<->device boundary as uint8 (1/4 the bytes,
-                    # same idea as wire="int16") and /255 fuses here.
-                    from avsep_tpu.engine import (
-                        _IMAGENET_MEAN, _IMAGENET_STD)
-                    if self.frames_wire == "u8":
-                        f = f.astype(jnp.float32) * (1.0 / 255.0)
-                    f = (f - jnp.asarray(_IMAGENET_MEAN)) \
-                        / jnp.asarray(_IMAGENET_STD)
+                    # same idea as wire="int16"); normalize_frames'
+                    # uint8 branch does /255 + normalize downstream.
+                    # NOTE (compat): pre-round-3 services lacked this
+                    # normalization — clients that pre-normalized frames
+                    # to compensate must switch to the [0,1] contract.
+                    from avsep_tpu.engine import imagenet_normalize
+                    if self.frames_wire != "u8":
+                        f = imagenet_normalize(f)
                 wavs = separate(nets, params, batch_stats, a, f, cfg,
                                 rng=rng)["wavs"]
                 if self.wire == "int16":
@@ -174,6 +175,18 @@ class SeparationService:
             raise RuntimeError("service is closed")
         if frames is not None:
             frames = np.asarray(frames)
+            if frames.shape != self.frames_shape:
+                raise ValueError(
+                    f"frames must have shape {self.frames_shape}, got "
+                    f"{frames.shape}")
+            if frames.dtype != np.uint8 and not np.issubdtype(
+                    frames.dtype, np.floating):
+                # int16/int32 "images" are ambiguous (0-255? 0-65535?) —
+                # silently clipping them to [0,1] would binarize real
+                # pictures; make the caller pick uint8 or float [0,1]
+                raise ValueError(
+                    f"frames must be uint8 [0,255] or float [0,1], got "
+                    f"dtype {frames.dtype}")
             if self.frames_wire == "u8":
                 # ship uint8 to the device (submit-time quantization of
                 # float inputs is documented; 8-bit matches jpg sources)
@@ -184,10 +197,6 @@ class SeparationService:
                 if frames.dtype == np.uint8:
                     frames = frames.astype(np.float32) / 255.0
                 frames = np.asarray(frames, np.float32)
-            if frames.shape != self.frames_shape:
-                raise ValueError(
-                    f"frames must have shape {self.frames_shape}, got "
-                    f"{frames.shape}")
         mix = np.zeros(self.cfg.audLen, np.float32)
         n = min(len(audio_mix), self.cfg.audLen)
         mix[:n] = np.clip(audio_mix[:n], -1.0, 1.0)

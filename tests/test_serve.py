@@ -322,7 +322,24 @@ def test_frames_wire_u8_service_matches_f32(model):
         finally:
             svc.close()
 
-    f_u8 = rs.randint(0, 256, size=(2, 1, 64, 64, 3), dtype=np.uint8)
+    probe = SeparationService(cfg, nets, params, stats)
+    shape = probe.frames_shape
+    probe.close()
+    f_u8 = rs.randint(0, 256, size=shape, dtype=np.uint8)
     out_u8 = serve_once("u8", f_u8)
     out_f32 = serve_once("f32", f_u8.astype(np.float32) / 255.0)
     assert np.allclose(out_u8, out_f32, atol=1e-5)
+
+
+def test_integer_nonuint8_frames_rejected(model):
+    """int16/int32 frames are ambiguous-scale; submit must reject them
+    rather than silently binarizing via the [0,1] clip (review finding)."""
+    cfg, nets, params, stats = model
+    svc = SeparationService(cfg, nets, params, stats, frames_wire="u8")
+    try:
+        bad = np.random.RandomState(0).randint(
+            0, 256, size=svc.frames_shape).astype(np.int32)
+        with pytest.raises(ValueError, match="uint8 .* or float"):
+            svc.submit(mixes(1)[0], frames=bad)
+    finally:
+        svc.close()

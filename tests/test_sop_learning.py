@@ -157,11 +157,14 @@ def test_sop_3stage_learns_av_assignment(token_data):  # noqa: F811
     # platform (the suite's 8-virtual-device conftest) measures 0.708 /
     # 2.64 dB at the same 3000 iters — a few samples sit near the swap
     # decision boundary while the MEAN swap cost is large either way.
-    # The robust mechanism pin is therefore the margin; the accuracy
-    # bound is set above chance with headroom on both platforms
-    # (0.667 = 16/24; binomial P[>=17 | p=0.5] = 0.032 for the weaker
-    # CPU reading).
-    assert assign_acc > 0.66, (
+    # The margin is the robust mechanism pin on both platforms; the
+    # accuracy bound stays tight where it is tight (TPU: 0.8 leaves ~2
+    # flipped samples of headroom under 0.917) and drops only on CPU to
+    # stay above chance with headroom (0.667 = 16/24; binomial
+    # P[>=17 | p=0.5] = 0.032 for the weaker CPU reading) — a global
+    # 0.66 would mask a real on-chip grounding regression.
+    acc_floor = 0.8 if jax.default_backend() == "tpu" else 0.66
+    assert assign_acc > acc_floor, (
         f"stage-3 attention does not ground audio slots in the correct "
         f"visual stream (SI-SDR swap-probe acc={assign_acc:.3f}, "
         f"chance=0.5)")
