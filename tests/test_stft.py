@@ -117,3 +117,19 @@ def test_matmul_dft_matches_fft(dft):
 def test_unknown_dft_backend_rejected():
     with pytest.raises(ValueError, match="dft must be one of"):
         stft(jnp.zeros((2, AUDLEN)), N_FFT, HOP, dft="bogus")
+
+
+@pytest.mark.parametrize("n_fft", [256, 510, 511])
+def test_matmul_dft_general_nfft(n_fft):
+    """The explicit-DFT matrices must be correct for any n_fft (even,
+    even-non-pow2, odd) — DC/Nyquist weighting differs by parity."""
+    rs = np.random.RandomState(n_fft)
+    hop = n_fft // 4
+    x = (rs.randn(2, 40 * hop - 1) * 0.1).astype(np.float32)
+    ref = np.asarray(stft(jnp.asarray(x), n_fft, hop))
+    got = np.asarray(stft(jnp.asarray(x), n_fft, hop, dft="matmul"))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-6
+
+    wav_ref = np.asarray(istft(jnp.asarray(ref), hop))
+    wav_got = np.asarray(istft(jnp.asarray(ref), hop, dft="matmul"))
+    assert np.abs(wav_got - wav_ref).max() < 2e-6
