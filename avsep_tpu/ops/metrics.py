@@ -9,8 +9,8 @@ decomposition is implemented in JAX and vmapped over the batch, so a whole
 val sweep scores in a few device calls:
 
 * 512-tap least-squares projection filters per (estimate, reference) pair,
-  built from FFT cross-correlations (Toeplitz-block Gram matrix, one
-  ``linalg.solve`` per sample);
+  built from rfft cross-correlations (Toeplitz-block Gram matrix, one
+  Cholesky factorization per sample — the Gram is symmetric PD);
 * s_target / e_spat / e_interf / e_artif decomposition and the standard
   dB ratios;
 * permutation search maximizing mean SIR over the S! source orderings
@@ -63,15 +63,33 @@ def _toeplitz_from_corr(ssf: jnp.ndarray, flen: int) -> jnp.ndarray:
     return ssf[..., idx]
 
 
-def _corr(fa: jnp.ndarray, fb: jnp.ndarray) -> jnp.ndarray:
-    """real(ifft(fa * conj(fb))) — circular cross-correlation."""
-    return jnp.real(jnp.fft.ifft(fa * jnp.conj(fb), axis=-1))
+def _corr(fa: jnp.ndarray, fb: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+    """irfft(fa * conj(fb)) — circular cross-correlation of real signals
+    given their rfft spectra (half-spectrum: half the FFT work of the
+    complex formulation, exact by Hermitian symmetry)."""
+    return jnp.fft.irfft(fa * jnp.conj(fb), n=n_fft, axis=-1)
 
 
 def _fftconvolve(c: jnp.ndarray, x_f: jnp.ndarray, n_fft: int,
                  out_len: int) -> jnp.ndarray:
-    cf = jnp.fft.fft(c, n=n_fft, axis=-1)
-    return jnp.real(jnp.fft.ifft(cf * x_f, axis=-1))[..., :out_len]
+    cf = jnp.fft.rfft(c, n=n_fft, axis=-1)
+    return jnp.fft.irfft(cf * x_f, n=n_fft, axis=-1)[..., :out_len]
+
+
+def _psolve(G: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Solve G x = rhs for symmetric positive-definite G via Cholesky.
+
+    The projection Grams here are correlation matrices of real signals
+    (PSD by construction; PD for any non-degenerate reference), so
+    Cholesky is valid and roughly half the work of the general LU that
+    ``jnp.linalg.solve`` lowers to — measured ~1.5x on the whole
+    BSS-eval program on a v5e chip (BENCH_NOTES.md).  Supports leading
+    batch dims like the lax.linalg primitives it wraps.
+    """
+    L = jax.lax.linalg.cholesky(G)
+    y = jax.lax.linalg.triangular_solve(L, rhs, left_side=True, lower=True)
+    return jax.lax.linalg.triangular_solve(L, y, left_side=True, lower=True,
+                                           transpose_a=True)
 
 
 def _decompose_all(refs: jnp.ndarray, ests: jnp.ndarray, flen: int = FLEN):
@@ -94,21 +112,21 @@ def _decompose_all(refs: jnp.ndarray, ests: jnp.ndarray, flen: int = FLEN):
     n_fft = int(2 ** np.ceil(np.log2(out_len)))
     a = jnp.arange(flen)
 
-    refs_f = jnp.fft.fft(refs, n=n_fft, axis=-1)        # [S, n_fft]
-    ests_f = jnp.fft.fft(ests, n=n_fft, axis=-1)        # [S, n_fft]
+    refs_f = jnp.fft.rfft(refs, n=n_fft, axis=-1)       # [S, n_fft//2+1]
+    ests_f = jnp.fft.rfft(ests, n=n_fft, axis=-1)       # [S, n_fft//2+1]
 
     # --- shared Gram of ALL sources' shifted versions, built once
-    corr_ij = _corr(refs_f[:, None], refs_f[None, :])   # [S, S, n_fft]
+    corr_ij = _corr(refs_f[:, None], refs_f[None, :], n_fft)  # [S, S, n_fft]
     G_blocks = _toeplitz_from_corr(corr_ij, flen)       # [S, S, flen, flen]
     G = G_blocks.transpose(0, 2, 1, 3).reshape(S * flen, S * flen)
 
     # cross-correlations ref_i x est_j, one gather for every pair
-    d_corr = _corr(refs_f[:, None], ests_f[None, :])    # [S, S, n_fft]
+    d_corr = _corr(refs_f[:, None], ests_f[None, :], n_fft)   # [S, S, n_fft]
     D = d_corr[:, :, (-a) % n_fft]                      # [S, S, flen]
 
     # --- ONE factorization, S stacked RHS (one per estimate)
     D_all = D.transpose(0, 2, 1).reshape(S * flen, S)
-    C = jnp.linalg.solve(G, D_all).reshape(S, flen, S)  # [s, flen, j]
+    C = _psolve(G, D_all).reshape(S, flen, S)           # [s, flen, j]
     C = C.transpose(2, 0, 1)                            # [j, s, flen]
     # p_all[j] = sum_s conv(C[j, s], refs[s])
     p_all = jnp.sum(_fftconvolve(C, refs_f[None], n_fft, out_len),
@@ -116,7 +134,7 @@ def _decompose_all(refs: jnp.ndarray, ests: jnp.ndarray, flen: int = FLEN):
 
     # --- true-source projections: diagonal Gram blocks, S RHS each
     Gjj = G_blocks[jnp.arange(S), jnp.arange(S)]        # [i, flen, flen]
-    Cj = jnp.linalg.solve(Gjj, D.transpose(0, 2, 1))    # [i, flen, j]
+    Cj = _psolve(Gjj, D.transpose(0, 2, 1))             # [i, flen, j]
     # p_true[i, j] = conv(Cj[i, :, j], refs[i])
     p_true = _fftconvolve(Cj.transpose(0, 2, 1), refs_f[:, None],
                           n_fft, out_len)               # [i, j, out_len]
