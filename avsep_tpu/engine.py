@@ -37,10 +37,11 @@ from avsep_tpu.ops.warp import unwarp_mask
 
 
 class Nets(NamedTuple):
-    """Model definitions (reference builds (net_sound, net_frame),
-    main.py:608-622)."""
+    """Model definitions (reference builds (net_sound, net_frame) and,
+    under --load_clips, a net_motion, main.py:608-625)."""
     sound: Any
     frame: Any
+    motion: Any = None
 
 
 def build_nets(cfg: Config) -> Nets:
@@ -53,7 +54,16 @@ def build_nets(cfg: Config) -> Nets:
     frame = ModelBuilder.build_frame(
         arch=cfg.arch_frame, fc_dim=cfg.vis_channels,
         pool_type=cfg.img_pool, dtype=dtype)
-    return Nets(sound, frame)
+    motion = None
+    if cfg.fusion_type == "CoLoc_ClipAtt" and not cfg.load_clips:
+        # the reference CRASHES here (get_fusion_net asserts,
+        # fusion_net.py:18); we make the live clip-attention path work,
+        # but it needs the clip stream
+        raise ValueError("fusion_type=CoLoc_ClipAtt requires --load_clips "
+                         "(the visual stream is the motion net over clips)")
+    if cfg.load_clips:
+        motion = ModelBuilder.build_motion(dtype=dtype)
+    return Nets(sound, frame, motion)
 
 
 # ------------------------------------------------------------------ helpers
@@ -151,6 +161,33 @@ def _frame_features(nets: Nets, variables, frames_n, cfg: Config,
     return activate(feats, cfg.img_activation), updates
 
 
+def _motion_features(nets: Nets, variables, clips_n, cfg: Config,
+                     train: bool):
+    """One source's clip -> activated spatio-temporal feature map, temporal
+    mean over the fast-pathway output (mirrors ``forward_multiframe``'s
+    pool=False reduction, reference vision_net.py:126-147).
+
+    This is the LIVE motion branch: the reference builds/checkpoints
+    net_motion under --load_clips but never calls it in a forward, and its
+    CoLoc_ClipAtt fusion type asserts (reference fusion_net.py:18,
+    main.py:624-625).  Here ``fusion_type=CoLoc_ClipAtt`` runs CoLoc
+    attention against these motion maps instead of static frame features
+    (the fast pathway's 256 output channels match the flagship U-Net's
+    256-dim bottleneck chunks).
+    """
+    clips_n = normalize_frames(clips_n)
+    if train:
+        def fwd(variables, clips_n):
+            return nets.motion.apply(variables, clips_n, train=True,
+                                     mutable=["batch_stats"])
+        feats, updates = _maybe_remat(fwd, cfg)(variables, clips_n)
+    else:
+        feats, updates = nets.motion.apply(variables, clips_n,
+                                           train=False), None
+    feats = jnp.mean(feats, axis=1)  # [B, T, h, w, C] -> [B, h, w, C]
+    return activate(feats, cfg.img_activation), updates
+
+
 def _sound_forward(nets: Nets, variables, log_mag, v, cfg: Config,
                    train: bool, rng=None, option=None):
     kw = dict(train=train, option=option)
@@ -204,16 +241,23 @@ def forward_av(nets: Nets, params, batch_stats, batch, cfg: Config,
     prep = _prepare(batch, cfg)
     N = cfg.num_mix
 
-    frame_vars = {"params": params["frame"],
-                  "batch_stats": batch_stats["frame"]}
+    # visual stream: static frames through the ResNet (default), or — the
+    # live motion branch — per-source clips through ResNet3dFastOnly when
+    # fusion_type=CoLoc_ClipAtt (see _motion_features)
+    use_motion = cfg.fusion_type == "CoLoc_ClipAtt"
+    vkey = "motion" if use_motion else "frame"
+    vis_features = _motion_features if use_motion else _frame_features
+    vstream = batch["clips"] if use_motion else batch["frames"]
+
+    frame_vars = {"params": params[vkey],
+                  "batch_stats": batch_stats[vkey]}
     feats = []
     fstats = frame_vars
     for n in range(N):
-        f, upd = _frame_features(nets, fstats, batch["frames"][:, n], cfg,
-                                 train)
+        f, upd = vis_features(nets, fstats, vstream[:, n], cfg, train)
         feats.append(f)
         if upd is not None:
-            fstats = {"params": params["frame"],
+            fstats = {"params": params[vkey],
                       "batch_stats": upd["batch_stats"]}
 
     sound_vars = {"params": params["sound"],
@@ -221,7 +265,8 @@ def forward_av(nets: Nets, params, batch_stats, batch, cfg: Config,
 
     if cfg.fused_av:
         return _forward_av_fused(nets, params, batch_stats, prep, feats,
-                                 fstats, sound_vars, cfg, rng, train)
+                                 fstats, sound_vars, cfg, rng, train,
+                                 vkey=vkey)
 
     def one_pass(vis_list, gt, svars, pass_rng):
         v = jnp.stack(vis_list)  # [C, B, h, w, Dv]
@@ -253,7 +298,7 @@ def forward_av(nets: Nets, params, batch_stats, batch, cfg: Config,
     new_stats = dict(batch_stats)
     if upd0 is not None:
         new_stats["sound"] = upd0["batch_stats"]
-        new_stats["frame"] = fstats["batch_stats"]
+        new_stats[vkey] = fstats["batch_stats"]
     outputs = {"pred_masks": jnp.stack([p for p in preds0], axis=1),
                "gt_masks": prep.gt_masks, "mag_mix": prep.mag_mix,
                "mags": prep.mags, "weight": prep.weights,
@@ -263,7 +308,8 @@ def forward_av(nets: Nets, params, batch_stats, batch, cfg: Config,
 
 
 def _forward_av_fused(nets: Nets, params, batch_stats, prep, feats, fstats,
-                      sound_vars, cfg: Config, rng, train: bool):
+                      sound_vars, cfg: Config, rng, train: bool,
+                      vkey: str = "frame"):
     """The symmetric double pass as ONE doubled-batch U-Net forward.
 
     The reference runs the full U-Net twice on the same log-magnitude with
@@ -305,7 +351,7 @@ def _forward_av_fused(nets: Nets, params, batch_stats, prep, feats, fstats,
     new_stats = dict(batch_stats)
     if upd is not None:
         new_stats["sound"] = upd["batch_stats"]
-        new_stats["frame"] = fstats["batch_stats"]
+        new_stats[vkey] = fstats["batch_stats"]
     preds0 = jnp.moveaxis(preds2[:, B:], 0, 1)           # forward-order pass
     outputs = {"pred_masks": preds0, "gt_masks": prep.gt_masks,
                "mag_mix": prep.mag_mix, "mags": prep.mags,

@@ -131,6 +131,21 @@ def make_sop_train_step(cfg: Config, nets: SopNets, use_vis: bool,
                                    rng)
         opt = make_sop_optimizer(cfg, state.params)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        if not use_vis:
+            # torch SGD skips grad-is-None params: the SoP++ AO step never
+            # touches net_frame (sop_engine.sop_forward AO branch;
+            # reference SoP++/main.py:215-246), so the reference applies
+            # no weight decay / momentum to it there.  Zero its update
+            # and carry its optimizer state unchanged (same fix as
+            # train.make_train_step; net_frame.fc rides the "sound"
+            # group, its param is frozen via the zeroed update).
+            updates = {k: (u if k != "frame" else
+                           jax.tree_util.tree_map(jnp.zeros_like, u))
+                       for k, u in updates.items()}
+            opt_state = opt_state._replace(inner_states={
+                k: (v if k != "frame"
+                    else state.opt_state.inner_states[k])
+                for k, v in opt_state.inner_states.items()})
         params = optax.apply_updates(state.params, updates)
         return (TrainState(state.step + 1, params, new_stats, opt_state),
                 {"err": err, "match_loss": match})

@@ -98,9 +98,14 @@ def init_state(cfg: Config, nets: Nets, rng: jax.Array,
              "frame": frame_vars["batch_stats"]}
 
     if cfg.load_clips:
-        # motion branch (vestigial in the reference; see models/motion.py)
-        from avsep_tpu.models.motion import ResNet3dFastOnly
-        motion = ResNet3dFastOnly()
+        # motion branch: vestigial in the reference (built/checkpointed but
+        # never called, main.py:624-625); LIVE here when
+        # fusion_type=CoLoc_ClipAtt (engine._motion_features)
+        if nets.motion is not None:
+            motion = nets.motion
+        else:
+            from avsep_tpu.models.motion import ResNet3dFastOnly
+            motion = ResNet3dFastOnly()
         mvars = motion.init(k3, jnp.zeros((1, 4, 64, 64, 3)), train=False)
         params["motion"] = mvars["params"]
         stats["motion"] = mvars["batch_stats"]
@@ -144,6 +149,32 @@ def make_train_step(cfg: Config, nets: Nets, use_vis: bool):
             state.params, state.batch_stats, batch, rng)
         opt = make_optimizer(cfg, state.params)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        # torch SGD skips parameters whose grad is None: nets outside the
+        # step's graph receive NO weight decay or momentum advance in the
+        # reference (torch/optim/sgd "if p.grad is None: continue").
+        # jax.grad instead returns zeros for unused params, which optax's
+        # add_decayed_weights would turn into a slow decay of the
+        # (ImageNet-pretrained) visual backbone over the ~50% of
+        # iterations that are audio-only (reference main.py:97-111,
+        # 557-569).  Zero the dead nets' updates and carry their optimizer
+        # state through unchanged.  (Residual inexactness: net_frame.fc
+        # rides the "sound" label group (reference main.py:544), so its
+        # momentum buffer still advances by the decay term in AO steps —
+        # its PARAM stays exactly frozen like the reference's.)
+        if use_vis:
+            live = ({"sound", "motion"}
+                    if cfg.fusion_type == "CoLoc_ClipAtt"
+                    else {"sound", "frame"})
+        else:
+            live = {"sound"}
+        if set(updates) - live:
+            updates = {k: (u if k in live else
+                           jax.tree_util.tree_map(jnp.zeros_like, u))
+                       for k, u in updates.items()}
+            opt_state = opt_state._replace(inner_states={
+                k: (v if k in live
+                    else state.opt_state.inner_states[k])
+                for k, v in opt_state.inner_states.items()})
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(state.step + 1, params, new_stats, opt_state)
         return new_state, {"err": err, "match_loss": match_loss}
