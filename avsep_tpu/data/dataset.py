@@ -203,7 +203,7 @@ class MusicMixDataset:
         Resize(-1,256) -> CenterCrop(224)."""
         from avsep_tpu.data.video_transforms import (
             center_crop, random_hflip, random_resized_crop, resize_shorter,
-            to_normalized_array)
+            to_uint8_array)
         cfg = self.cfg
         center_list, clip_list = [], []
         for info, center_t in zip(infos, center_times):
@@ -230,7 +230,9 @@ class MusicMixDataset:
                 all_imgs = random_hflip(all_imgs, rng)
             else:
                 all_imgs = center_crop(all_imgs, min(cfg.imgSize, 224))
-            arr = to_normalized_array(all_imgs)
+            # uint8 wire like the frames path: ImageNet normalization runs
+            # on device (engine.normalize_frames handles both streams)
+            arr = to_uint8_array(all_imgs)
             clip_list.append(arr[: cfg.clip_len])
             center_list.append(arr[cfg.clip_len:])
         return np.stack(center_list), np.stack(clip_list)
@@ -334,7 +336,7 @@ class MusicMixDataset:
                 # frames stay uint8 on the wire — ImageNet normalization
                 # runs on device (engine.normalize_frames dtype dispatch)
                 "frames": frames,
-                "clips": clips.astype(np.float32),  # [N, clip_len, H, W, 3]
+                "clips": clips,  # [N, clip_len, H, W, 3] uint8 wire
                 "id": name,
                 "class": class_ids,
                 "infos": infos,
