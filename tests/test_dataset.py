@@ -123,6 +123,20 @@ def test_frames_uint8_normalized_on_device(manifest):
     np.testing.assert_allclose(on_device, host, atol=1e-6)
 
 
+def test_clips_wire_uint8(manifest):
+    """--load_clips ships both streams (clips AND their center frames) as
+    raw uint8 pixels, like the main frames path: ImageNet normalization
+    runs on device (engine.normalize_frames), and a float cast here would
+    both skip it and 4x the host->device bytes."""
+    cfg = make_cfg(load_clips=True, clip_len=4, one_frame=True)
+    ds = MusicMixDataset(manifest, cfg, split="val")
+    s = ds[0]
+    assert s["clips"].dtype == np.uint8
+    assert s["frames"].dtype == np.uint8
+    assert s["clips"].shape[:2] == (cfg.num_mix, cfg.clip_len)
+    assert s["clips"].max() > 1  # raw 0-255 pixels
+
+
 def test_one_frame_mode(manifest):
     cfg = make_cfg(one_frame=True)
     ds = MusicMixDataset(manifest, cfg, split="train")

@@ -11,10 +11,13 @@ against the f32 pipeline on identical inputs.
 Usage: python tools/sep_dtype_ab.py [B] [ITERS]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 64
