@@ -77,7 +77,7 @@ def _fftconvolve(c: jnp.ndarray, x_f: jnp.ndarray, n_fft: int,
 
 
 def _psolve(G: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
-    """Solve G x = rhs for symmetric positive-definite G via Cholesky.
+    """Solve G x = rhs for symmetric positive-semidefinite G via Cholesky.
 
     The projection Grams here are correlation matrices of real signals
     (PSD by construction; PD for any non-degenerate reference), so
@@ -85,7 +85,25 @@ def _psolve(G: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     ``jnp.linalg.solve`` lowers to — measured ~1.5x on the whole
     BSS-eval program on a v5e chip (BENCH_NOTES.md).  Supports leading
     batch dims like the lax.linalg primitives it wraps.
+
+    Degenerate references make G exactly singular — duplicated or
+    gain-scaled copies of one source, or narrowband signals whose
+    ``flen`` shifted versions span a low-rank subspace (a pure sine's
+    shift Gram is rank 2) — and factorizing a singular G yields NaN
+    metrics (mir_eval inherits the same hazard from np.linalg.solve).
+    Relative diagonal loading (Tikhonov, eps * trace) keeps the
+    factorization PD in f32: the trace upper-bounds the top eigenvalue,
+    so the loaded condition number is at most 1/eps = 1e7, inside f32
+    Cholesky's stable range (mean-diag scaling is NOT enough — a rank-2
+    sine Gram concentrates the whole trace in two eigenvalues and still
+    fails).  eps sweep on rank-deficient Grams (duplicate sources,
+    pure sines): 1e-8 still NaNs, 3e-8 is the edge, 1e-7 holds a 10x
+    margin while moving well-conditioned oracle metrics <0.05 dB
+    (tests assert 0.15 dB).
     """
+    n = G.shape[-1]
+    scale = jnp.trace(G, axis1=-2, axis2=-1)
+    G = G + (1e-7 * scale + 1e-12)[..., None, None] * jnp.eye(n, dtype=G.dtype)
     L = jax.lax.linalg.cholesky(G)
     y = jax.lax.linalg.triangular_solve(L, rhs, left_side=True, lower=True)
     return jax.lax.linalg.triangular_solve(L, y, left_side=True, lower=True,

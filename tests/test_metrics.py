@@ -147,3 +147,40 @@ def test_eval_metrics_dict():
         assert m[k].shape == (1,)
         assert np.isfinite(float(m[k][0]))
     assert float(m["sir"][0]) > float(m["sdr"][0])
+
+
+def test_bss_eval_degenerate_references_finite():
+    """Rank-deficient reference Grams must yield finite metrics, not NaN.
+
+    Duplicated / gain-scaled sources make the stacked shift Gram exactly
+    singular, and narrowband references (a pure sine's flen shifted
+    copies span a rank-2 subspace) are singular even source-by-source —
+    unregularized Cholesky (and mir_eval's np.linalg.solve) NaN out.
+    The relative diagonal loading in ops.metrics._psolve must hold for
+    all of them, and stay accurate on the well-conditioned case."""
+    from avsep_tpu.ops.metrics import bss_eval_sources
+    rs = np.random.RandomState(3)
+    L = 8191
+    t = np.arange(L) / 11025.0
+    a = rs.randn(L).astype(np.float32)
+    cases = {
+        "dup": np.stack([a, a]),
+        "scaled": np.stack([a, 0.25 * a]),
+        "sines": np.stack([0.4 * np.sin(2 * np.pi * 220 * t),
+                           0.4 * np.sin(2 * np.pi * 330 * t)]
+                          ).astype(np.float32),
+        "same-sine": np.stack(
+            [0.4 * np.sin(2 * np.pi * 220 * t)] * 2).astype(np.float32),
+    }
+    for name, refs in cases.items():
+        ests = refs + 0.05 * rs.randn(*refs.shape).astype(np.float32)
+        sdr, sir, sar, perm = bss_eval_sources(jnp.asarray(refs[None]),
+                                               jnp.asarray(ests[None]))
+        for metric_name, v in (("sdr", sdr), ("sir", sir), ("sar", sar)):
+            assert np.isfinite(np.asarray(v)).all(), (name, metric_name, v)
+    # ~26 dB mixing SNR must survive the loading on conditioned refs
+    refs = np.stack([a, rs.randn(L).astype(np.float32)])
+    ests = refs + 0.05 * rs.randn(*refs.shape).astype(np.float32)
+    sdr, _, _, _ = bss_eval_sources(jnp.asarray(refs[None]),
+                                    jnp.asarray(ests[None]))
+    assert np.asarray(sdr).min() > 20.0
