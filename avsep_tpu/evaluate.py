@@ -84,23 +84,36 @@ def _build_eval_step(cfg: Config, nets: Nets, use_vis: bool):
         metrics["err_ps"] = outputs["err_ps"]        # [B] per-sample loss
         metrics["match_ps"] = outputs["match_ps"]    # [B] per-sample match
         if use_vis:
-            # permutation accuracy: the AV branch has NO PIT (reference
-            # main.py:133 compares channel n to gt n directly), so the
-            # output order is right only when the CoLoc attention assigned
-            # audio slots to the correct visual streams.  Correct iff the
-            # as-is source order loses to the swap.  Chance = 0.5 with
-            # uninformative vision.
-            from avsep_tpu.models import criterion as crit
-            ps = jnp.moveaxis(outputs["pred_masks"], 1, 0)   # [N, B, F, T]
-            gts = jnp.moveaxis(outputs["gt_masks"], 1, 0)
-            l_fwd = crit.multi_source_loss(ps, gts, outputs["weight"],
-                                           kind=cfg.loss, per_sample=True)
-            l_swp = crit.multi_source_loss(ps, gts[::-1], outputs["weight"],
-                                           kind=cfg.loss, per_sample=True)
-            metrics["perm_correct"] = (l_fwd < l_swp).astype(jnp.float32)
+            metrics["perm_correct"] = perm_correct(
+                outputs["pred_masks"], outputs["gt_masks"],
+                outputs["weight"], cfg.loss)
         return metrics, outputs, preds_wav
 
     return step
+
+
+def perm_correct(pred_masks: jnp.ndarray, gt_masks: jnp.ndarray,
+                 weight: jnp.ndarray, kind: str) -> jnp.ndarray:
+    """Per-sample audio<->visual assignment correctness, [B] in {0, 1}.
+
+    The AV branch has NO PIT (reference main.py:133 compares channel n
+    to gt n directly), so the output order is right only when the CoLoc
+    attention assigned audio slots to the correct visual streams.
+    Correct iff the identity assignment beats every other permutation
+    (the PIT argmin over all N! orders — a pairwise swap test would miss
+    3-cycles for num_mix > 2).  Chance = 1/N! with uninformative vision;
+    ties resolve to identity (first in itertools.permutations order),
+    measure-zero in practice.
+
+    pred_masks/gt_masks: [B, N, F, T]; weight: [B, F, T].
+    """
+    from avsep_tpu.models import criterion as crit
+    ps = jnp.moveaxis(pred_masks, 1, -1)                 # [B, F, T, N]
+    gts = jnp.moveaxis(gt_masks, 1, -1)
+    w = jnp.stack([weight] * ps.shape[-1], axis=-1)
+    _, best = crit.pit_loss(ps, gts, w, kind=kind)
+    return jnp.all(best == jnp.arange(ps.shape[-1]),
+                   axis=-1).astype(jnp.float32)
 
 
 def evaluate(cfg: Config, nets: Nets, params, batch_stats, loader, history,
@@ -145,6 +158,11 @@ def evaluate(cfg: Config, nets: Nets, params, batch_stats, loader, history,
         for k, v in batch.items():
             # audio_mix is rebuilt on device (engine.audio_mix_of)
             if not isinstance(v, np.ndarray) or k == "audio_mix":
+                continue
+            # the AO branch never reads the visual streams (forward_ao);
+            # don't ship the dominant wire payload for them — same drop
+            # the train loop applies to its AO iterator (main.py)
+            if not use_vis_eval and k in ("frames", "clips"):
                 continue
             if v.shape[0] < pad_to:  # pad ragged batch (static jit shapes);
                 # padded rows are dropped from the meters below
@@ -217,9 +235,11 @@ def evaluate(cfg: Config, nets: Nets, params, batch_stats, loader, history,
               0.0, meters["si_sdr"].average(), meters["sdr"].average(),
               meters["sir"].average(), meters["sar"].average()))
     if use_vis_eval:
+        import math
         print("[Eval Summary] Perm-Acc: {:.4f} (audio<->visual source "
-              "assignment; 0.5 = chance)".format(
-                  meters["perm_acc"].average()))
+              "assignment; {:.3g} = chance)".format(
+                  meters["perm_acc"].average(),
+                  1.0 / math.factorial(cfg.num_mix)))
 
     keyname = "val_av" if use_vis_eval else "val_ao"
     history[keyname]["iter"].append(itera)

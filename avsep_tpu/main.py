@@ -127,13 +127,8 @@ def main(cfg: Config):
         # must be in the mesh (all processes participate in every SPMD
         # program), so num_gpus cannot subset it
         n_dev = len(jax.devices())
-        if cfg.batch_size % n_dev:
-            raise ValueError(f"global batch {cfg.batch_size} must divide "
-                             f"across {n_dev} devices")
-        if cfg.dist_data == "shard" and \
-                cfg.batch_size % jax.process_count():
-            raise ValueError("dist_data=shard needs batch_size divisible "
-                             "by the process count")
+        from avsep_tpu.parallel.distributed import validate_global_batch
+        validate_global_batch(cfg)
     else:
         # data-parallel width = num_gpus (reference main.py:661
         # DataParallel over range(num_gpus)), clamped to the devices
@@ -257,10 +252,14 @@ def _train_loop(cfg, nets, state, history, best_holder, start_i, rng, mesh,
             # the live (decayed) LRs — the optax schedule scales x0.1 past
             # each lr_steps boundary (reference prints the mutated args
             # values, main.py:551-555 + :726-737)
-            # >=: optax piecewise_constant_schedule scales when the update
-            # count REACHES a boundary, so the printed LR must flip on the
-            # same iteration (ADVICE r2: `>` lagged one disp window)
-            decay = 0.1 ** sum(i >= s for s in cfg.lr_steps)
+            # `>`, not `>=`: the reference decays at the END of iteration
+            # s (main.py:762-763), so the decayed LR is first CONSUMED at
+            # i = s+1 — which is exactly when optax's schedule kicks in
+            # here too (the update at iteration i uses count i-1, and
+            # piecewise_constant_schedule scales at count >= s).  `>= s`
+            # would print the decayed LR one iteration before either
+            # optimizer applies it.
+            decay = 0.1 ** sum(i > s for s in cfg.lr_steps)
             print("iter: [{}/{}], Time: {:.2f}, Data: {:.2f}, "
                   "lr_sound: {}, lr_frame: {}, loss: {:.3f}, "
                   "loss_ao: {:.3f}, loss_av: {:.3f} loss_match {:.3f}"

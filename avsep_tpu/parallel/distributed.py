@@ -81,6 +81,23 @@ def maybe_initialize(cfg) -> None:
           f"{len(jax.devices())} global devices")
 
 
+def validate_global_batch(cfg) -> None:
+    """Fail fast with clear errors on batch/device mismatches in
+    multi-host jobs, instead of a silently floored per-process batch
+    (build_loaders integer-divides) or a raw XLA sharding error at the
+    first step.  No-op single-process.  Shared by main() and
+    sop_main.main() so both CLIs validate identically."""
+    if jax.process_count() <= 1:
+        return
+    n_dev = len(jax.devices())
+    if cfg.batch_size % n_dev:
+        raise ValueError(f"global batch {cfg.batch_size} must divide "
+                         f"across {n_dev} devices")
+    if cfg.dist_data == "shard" and cfg.batch_size % jax.process_count():
+        raise ValueError("dist_data=shard needs batch_size divisible "
+                         "by the process count")
+
+
 def is_primary() -> bool:
     return jax.process_index() == 0
 

@@ -343,14 +343,26 @@ class _Handler(socketserver.BaseRequestHandler):
                     _send_msg(self.request,
                               {"ok": True, **svc.stats.snapshot()})
                     continue
-                mix = np.frombuffer(payload[:4 * header["n"]], np.float32)
+                n = int(header["n"])
+                fs = (tuple(header["frames_shape"])
+                      if header.get("frames_shape") else None)
+                fdt = (np.uint8 if header.get("frames_dtype") == "u8"
+                       else np.float32)
+                need = 4 * n + (int(np.prod(fs)) * np.dtype(fdt).itemsize
+                                if fs else 0)
+                if len(payload) != need:
+                    # a truncated payload must fail loudly: frombuffer
+                    # would silently shorten the mix and submit() would
+                    # zero-fill it, returning ok=True separations of a
+                    # mostly-silent mixture on a client framing bug
+                    raise ValueError(
+                        f"payload is {len(payload)} bytes, expected {need} "
+                        f"(n={n}" + (f", frames_shape={list(fs)}" if fs
+                                     else "") + ")")
+                mix = np.frombuffer(payload[:4 * n], np.float32)
                 frames = None
-                if header.get("frames_shape"):
-                    fs = tuple(header["frames_shape"])
-                    fdt = (np.uint8 if header.get("frames_dtype") == "u8"
-                           else np.float32)
-                    frames = np.frombuffer(
-                        payload[4 * header["n"]:], fdt).reshape(fs)
+                if fs:
+                    frames = np.frombuffer(payload[4 * n:], fdt).reshape(fs)
                 wavs = svc.submit(mix, frames).result()
                 _send_msg(self.request,
                           {"ok": True, "shape": list(wavs.shape),

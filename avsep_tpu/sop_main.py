@@ -157,8 +157,10 @@ def main(cfg: Config):
     # multi-host (DCN) bring-up must precede the first device query;
     # build_loaders/to_device (imported from avsep_tpu.main) are already
     # process-aware, checkpoint writes are primary-gated
-    from avsep_tpu.parallel.distributed import maybe_initialize
+    from avsep_tpu.parallel.distributed import (
+        maybe_initialize, validate_global_batch)
     maybe_initialize(cfg)
+    validate_global_batch(cfg)
 
     print("Model ID: {}".format(cfg.id))
     cfg = cfg.replace(ckpt=os.path.join(cfg.ckpt, cfg.id))

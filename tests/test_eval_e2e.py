@@ -140,3 +140,52 @@ def test_evaluate_meters_independent_of_batch_size(small_setup, manifest):  # no
         np.testing.assert_allclose(hists[0]["val_av"][k][0],
                                    hists[1]["val_av"][k][0],
                                    rtol=2e-4, atol=1e-5, err_msg=k)
+
+
+def test_perm_correct_catches_three_cycles():
+    """perm_correct must test identity against ALL N! assignments: for
+    num_mix=3 a cyclic misassignment (pred n carries source n+1) leaves
+    the full reversal worse than identity, so the old pairwise
+    identity-vs-reversal check scored it correct (review finding)."""
+    from avsep_tpu.evaluate import perm_correct
+
+    rs = np.random.RandomState(0)
+    B, N, F, T = 2, 3, 6, 5
+    gts = rs.rand(B, N, F, T).astype(np.float32)
+    preds = gts.copy()
+    preds[0] = gts[0, [1, 2, 0]]  # sample 0: 3-cycle; sample 1: identity
+    w = np.ones((B, F, T), np.float32)
+    out = np.asarray(perm_correct(jnp.asarray(preds), jnp.asarray(gts),
+                                  jnp.asarray(w), kind="l2"))
+    np.testing.assert_array_equal(out, [0.0, 1.0])
+    # num_mix=2 semantics unchanged: swap -> 0, identity -> 1
+    gts2 = rs.rand(B, 2, F, T).astype(np.float32)
+    preds2 = gts2.copy()
+    preds2[0] = gts2[0, ::-1]
+    out2 = np.asarray(perm_correct(jnp.asarray(preds2), jnp.asarray(gts2),
+                                   jnp.asarray(np.ones((B, F, T),
+                                                       np.float32)),
+                                   kind="bce"))
+    np.testing.assert_array_equal(out2, [0.0, 1.0])
+
+
+def test_validate_global_batch_messages(monkeypatch):
+    """Multi-host batch misconfiguration must raise the clear ValueError,
+    not silently floor the per-process batch (review finding: sop_main
+    skipped the validation main() performed)."""
+    import avsep_tpu.parallel.distributed as dist
+    from tests.test_train_step import tiny_cfg
+
+    monkeypatch.setattr(dist.jax, "process_count", lambda: 4)
+    monkeypatch.setattr(
+        dist.jax, "devices",
+        lambda *a: [object()] * 8)
+    cfg = tiny_cfg(batch_size_per_gpu=3, num_gpus=1, dist_data="shard")
+    assert cfg.batch_size == 3
+    with pytest.raises(ValueError, match="divide"):
+        dist.validate_global_batch(cfg)
+    cfg8 = tiny_cfg(batch_size_per_gpu=8, num_gpus=1, dist_data="shard")
+    dist.validate_global_batch(cfg8)  # 8 % 8 devices, 8 % 4 procs: ok
+    cfg12 = tiny_cfg(batch_size_per_gpu=12, num_gpus=1, dist_data="replicate")
+    with pytest.raises(ValueError, match="divide"):
+        dist.validate_global_batch(cfg12)  # 12 % 8 devices != 0

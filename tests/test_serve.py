@@ -343,3 +343,35 @@ def test_integer_nonuint8_frames_rejected(model):
             svc.submit(mixes(1)[0], frames=bad)
     finally:
         svc.close()
+
+
+def test_tcp_truncated_payload_rejected(model):
+    """A header whose `n` promises more samples than the payload ships
+    must get an in-band ok=False reply, not ok=True separations of a
+    zero-filled mixture (review finding: frombuffer silently shortened
+    the mix and submit() zero-padded it).  The connection stays usable."""
+    import socket as _socket
+
+    from avsep_tpu.serve import _recv_msg, _send_msg
+
+    cfg, nets, params, stats = model
+    svc = SeparationService(cfg, nets, params, stats, max_batch=1,
+                            max_wait_ms=2.0)
+    server = serve_forever(svc, port=0)
+    host, port = server.server_address
+    sock = _socket.create_connection((host, port))
+    try:
+        mix = mixes(1)[0]
+        short = mix[:100].astype(np.float32).tobytes()  # lies: n says full
+        _send_msg(sock, {"op": "separate", "n": int(mix.shape[0]),
+                         "payload_bytes": len(short)}, short)
+        header, _ = _recv_msg(sock)
+        assert header["ok"] is False
+        assert "expected" in header["error"]
+        # framing is intact: a well-formed request still succeeds
+        out = separate_remote(host, port, mix, sock=sock)
+        assert out.shape[0] == cfg.num_mix
+    finally:
+        sock.close()
+        server.shutdown()
+        svc.close()

@@ -181,6 +181,13 @@ def main(batch: int = 32, n_steps: int = 8, top_k: int = 12):
             per_op[e["name"]] += e.get("dur", 0.0)  # us
 
     total_us = sum(per_op.values())
+    if total_us == 0:
+        # no 'TPU' device process in the trace (e.g. CPU backend): say so
+        # instead of dividing by zero after minutes of compile+trace work
+        raise SystemExit(
+            "no device-op events found in the trace (no 'TPU' process — "
+            "running on the CPU backend? trace_report needs a real chip; "
+            "use tools/mfu_report.py for platform-independent numbers)")
     per_cat = defaultdict(float)
     for name, us in per_op.items():
         per_cat[_categorize(name, fusion_kinds)] += us
