@@ -4,8 +4,10 @@ TPU-native re-implementation of the three fusion modules at the U-Net
 bottleneck (reference ``models/fusion_net.py``):
 
 * **CoLoc** (``fusion_net.py:20-110``, ``fusion_type='hidsep'``): split the
-  max-pooled bottleneck audio vector into C=2 per-source chunks, score both
-  chunk<->visual-map assignments with cosine or scaled-dot-sigmoid attention,
+  max-pooled bottleneck audio vector into C per-source chunks (the
+  reference hard-codes C=2; here any C with an evenly dividing bottleneck
+  works), score all C! chunk<->visual-map assignments with cosine or
+  scaled-dot-sigmoid attention,
   pick the best permutation (match loss = -best + sum(rest)), attend the
   visual maps, and broadcast per-source guidance vectors back over the
   spectrogram bottleneck.
@@ -65,6 +67,15 @@ def _pool_chunks(x: jnp.ndarray, C: int) -> jnp.ndarray:
     (reference fusion_net.py:24,38).  Returns [B, C, D/C].
     """
     B, _, _, D = x.shape
+    if D % C:
+        # fail with intent, not a reshape TypeError: the reference has the
+        # same constraint implicitly (fusion_net.py:38-46 stacks
+        # tensor_split chunks, which must be equal-sized) and is
+        # additionally hard-coded to C=2; here any C works when the
+        # bottleneck divides evenly
+        raise ValueError(
+            f"U-Net bottleneck dim {D} must be divisible by num_mix={C} "
+            f"for chunked AV fusion (pick ngf so bottleneck % num_mix == 0)")
     g = jnp.max(x, axis=(1, 2))  # [B, D]
     return g.reshape(B, C, D // C)
 
@@ -76,10 +87,19 @@ def _broadcast_guidance(feat: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     return jnp.broadcast_to(flat[:, None, None, :], (B, h, w, C * Dc))
 
 
+def _perms(C: int) -> jnp.ndarray:
+    """All C! orderings as one static index table [P, C] — itertools order
+    puts identity first (ties in downstream argmax/argmin resolve to it)."""
+    import itertools
+    return jnp.asarray(list(itertools.permutations(range(C))))
+
+
 def _perm_stack(blocks: jnp.ndarray) -> jnp.ndarray:
-    """[B, C, Dc] -> [B, P, C, Dc] with both orders, C=2 special case
-    (reference fusion_net.py:44-46)."""
-    return jnp.stack([blocks, blocks[:, ::-1]], axis=1)
+    """[B, C, Dc] -> [B, P, C, Dc], every source ordering via one static
+    gather.  For C=2 this is exactly the reference's pair
+    (fusion_net.py:44-46: identity + swap); the reference hard-codes that
+    special case, here any C works (P = C!)."""
+    return blocks[:, _perms(blocks.shape[1])]
 
 
 def _score_and_sort(maps: jnp.ndarray):
@@ -101,12 +121,23 @@ def _score_and_sort(maps: jnp.ndarray):
 
 
 def _random_slot_swap(blocks: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
-    """Randomly swap the two audio chunks per sample (reference AO_forward,
-    fusion_net.py:96-98: one-hot gather of a fair coin)."""
+    """Randomly permute the per-source audio chunks per sample (reference
+    AO_forward, fusion_net.py:96-98).
+
+    C=2 keeps the reference's exact fair-coin-uniform draw — the torch
+    parity tests pin this stream (test_unet_parity / test_train_loss_
+    parity feed the same uniforms to torch.rand).  C>2 (beyond the
+    reference, which is pair-only) draws uniformly over all C! orders.
+    """
     B, C, Dc = blocks.shape
-    swap = jax.random.uniform(rng, (B,)) <= 0.5
-    perm = jnp.where(swap[:, None], jnp.asarray([1, 0])[None, :],
-                     jnp.asarray([0, 1])[None, :])  # [B, C]
+    if C == 2:
+        swap = jax.random.uniform(rng, (B,)) <= 0.5
+        perm = jnp.where(swap[:, None], jnp.asarray([1, 0])[None, :],
+                         jnp.asarray([0, 1])[None, :])       # [B, C]
+    else:
+        perms = _perms(C)                                    # [P, C]
+        pick = jax.random.randint(rng, (B,), 0, perms.shape[0])
+        perm = perms[pick]
     return jnp.take_along_axis(blocks, perm[:, :, None], axis=1)
 
 
