@@ -368,6 +368,12 @@ def forward_avmiximg(nets: Nets, params, batch_stats, batch, cfg: Config,
     image, PIT loss over the masks (reference main.py:162-192)."""
     prep = _prepare(batch, cfg)
     N = cfg.num_mix
+    if N != 2:
+        # the mixture-visual formulation is inherently two-source (one
+        # duet image, two bottleneck chunks — reference
+        # fusion_net.py:229-311); CoLoc/hidsep is the N-source path
+        raise ValueError(
+            f"fusion_type=MixVis supports num_mix=2 only (got {N})")
 
     frame_vars = {"params": params["frame"],
                   "batch_stats": batch_stats["frame"]}

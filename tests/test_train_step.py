@@ -406,3 +406,25 @@ def test_fusion_indivisible_bottleneck_clear_error():
     nets = tiny_nets(cfg)
     with pytest.raises(ValueError, match="divisible by num_mix"):
         init_state(cfg, nets, jax.random.PRNGKey(0))
+
+
+def test_mixvis_requires_two_sources():
+    """MixVis is inherently two-source (one duet image, two bottleneck
+    chunks); num_mix=3 must raise the clear error, not a shape mismatch."""
+    cfg = tiny_cfg(num_mix=3, num_channels=3, fusion_type="MixVis")
+    nets = Nets(
+        AudioUnet(fc_dim=3, num_downs=5, ngf=12, fusion_type="MixVis",
+                  att_type="sig"),
+        FrameEncoder(fc_dim=cfg.vis_channels, pool_type="maxpool",
+                     dilate_scale=16))
+    rs = np.random.RandomState(0)
+    batch = {
+        "audios": jnp.asarray(
+            rs.randn(2, 3, cfg.audLen).astype(np.float32) * 0.1),
+        "frames": jnp.asarray(rs.rand(2, 3, 1, cfg.imgSize, cfg.imgSize,
+                                      3), dtype=jnp.float32),
+    }
+    from avsep_tpu.engine import forward_avmiximg
+    with pytest.raises(ValueError, match="num_mix=2 only"):
+        forward_avmiximg(nets, {}, {}, batch, cfg, jax.random.PRNGKey(0),
+                         train=False)
