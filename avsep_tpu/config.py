@@ -194,6 +194,42 @@ class Config:
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 
+    def jit_signature(self) -> tuple:
+        """Value key of the compute-relevant fields, for jit-step caches.
+
+        Excludes fields only host-side orchestration/IO reads (paths,
+        loader knobs, loop cadence, logging, distributed bring-up, demo
+        selectors) so ``cfg.replace(ckpt=...)``-style copies reuse the
+        compiled eval step instead of paying a 20-40 s recompile —
+        ``JitStepCache`` previously keyed on ``id(cfg)``, which any
+        ``replace`` invalidates.  Every excluded field is verified unread
+        inside the jitted closures of ``evaluate._build_eval_step`` and
+        ``sop_main.make_sop_eval_step`` (batch sizes are excluded too:
+        shapes flow from the arrays, and jax.jit re-specializes per
+        shape on its own).
+        """
+        return tuple(
+            getattr(self, f.name) for f in dataclasses.fields(self)
+            if f.name not in _HOST_ONLY_FIELDS)
+
+
+# fields never read inside a jitted step closure (host orchestration/IO
+# only) — see Config.jit_signature
+_HOST_ONLY_FIELDS = frozenset({
+    "id", "ckpt", "load_ckpt",
+    "weights_sound", "weights_frame", "weights_synthesizer",
+    "workers", "num_val", "num_vis", "disp_iter", "eval_epoch", "mode",
+    "list_train", "list_val", "av_list_train", "ao_list_train",
+    "num_epoch", "num_iters", "eval_iter", "iter_per_av",
+    "start_av_first", "num_fsteps", "train_repeat",
+    "rate_dc", "rate_sc", "rate_sv", "margin", "max_silent", "val_repeat",
+    "restart_from_latest", "duet_vis_rate", "demo_mode",
+    "profile_dir", "profile_start", "profile_steps",
+    "dist_coordinator", "dist_nprocs", "dist_procid", "dist_data",
+    "frameRate", "stride_frames", "seed", "num_gpus",
+    "batch_size_per_gpu", "train_steps",
+})
+
 
 def _build_parser() -> argparse.ArgumentParser:
     """Build an argparse parser accepting the reference's exact flag strings."""

@@ -42,8 +42,12 @@ def make_eval_step(cfg: Config, nets: Nets, use_vis: bool):
     BSS metrics (reference main.py:444-451 + calc_metrics :197-286).
     Cached per (cfg, nets, branch) — see ``utils.jit_cache`` — so repeated
     in-training evals reuse the compiled executable."""
+    # nets stays identity-keyed (module objects); cfg participates by the
+    # VALUE of its compute-relevant fields, so cfg.replace(ckpt=...) etc.
+    # reuses the compiled step (Config.jit_signature)
     return _EVAL_STEPS.get_or_build(
-        (cfg, nets), use_vis, lambda: _build_eval_step(cfg, nets, use_vis))
+        (nets,), (cfg.jit_signature(), use_vis),
+        lambda: _build_eval_step(cfg, nets, use_vis))
 
 
 def _build_eval_step(cfg: Config, nets: Nets, use_vis: bool):

@@ -273,7 +273,7 @@ def make_sop_eval_step(cfg, nets, use_vis: bool):
     ``_sop_evaluate`` calls inside the train loop reuse the compiled
     executable (same cache as ``evaluate.make_eval_step``)."""
     return _SOP_EVAL_STEPS.get_or_build(
-        (cfg, nets), use_vis,
+        (nets,), (cfg.jit_signature(), use_vis),
         lambda: _build_sop_eval_step(cfg, nets, use_vis))
 
 

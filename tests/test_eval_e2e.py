@@ -189,3 +189,21 @@ def test_validate_global_batch_messages(monkeypatch):
     cfg12 = tiny_cfg(batch_size_per_gpu=12, num_gpus=1, dist_data="replicate")
     with pytest.raises(ValueError, match="divide"):
         dist.validate_global_batch(cfg12)  # 12 % 8 devices != 0
+
+
+def test_eval_step_cache_survives_host_field_changes(small_setup):
+    """cfg copies differing only in host-side fields (ckpt dir, id, loop
+    cadence) must reuse the cached compiled eval step — keying on id(cfg)
+    made every cfg.replace(...) pay the 20-40 s recompile (review
+    finding); compute-relevant changes must still rebuild."""
+    from avsep_tpu.evaluate import make_eval_step
+
+    cfg, nets, state = small_setup
+    s1 = make_eval_step(cfg, nets, True)
+    s2 = make_eval_step(cfg.replace(ckpt="/tmp/elsewhere", id="other",
+                                    num_vis=3, disp_iter=7), nets, True)
+    assert s1 is s2
+    s3 = make_eval_step(cfg.replace(mask_thres=0.25), nets, True)
+    assert s3 is not s1
+    # branch split still respected
+    assert make_eval_step(cfg, nets, False) is not s1
