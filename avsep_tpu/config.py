@@ -127,7 +127,10 @@ class Config:
                                     # gains, ~half the audio bytes; see
                                     # data/wire.py)
     data_axis: str = "data"          # mesh axis name for DP
-    mesh_shape: Tuple[int, ...] = ()  # () -> use all local devices on 1 axis
+                                     # (parallel.mesh.mesh_from_config)
+    mesh_shape: Tuple[int, ...] = ()  # (N,) -> N-device 1-axis data mesh;
+                                     # () -> caller default (num_gpus for
+                                     # main, all devices for sop_main)
     # multi-host (DCN) data parallelism — parallel/distributed.py.  The
     # reference never exceeds one host (SURVEY §2.3); these extend the
     # same 1-axis data mesh across processes via jax.distributed.
@@ -228,6 +231,9 @@ _HOST_ONLY_FIELDS = frozenset({
     "dist_coordinator", "dist_nprocs", "dist_procid", "dist_data",
     "frameRate", "stride_frames", "seed", "num_gpus",
     "batch_size_per_gpu", "train_steps",
+    # mesh construction happens before any jit; the step programs are
+    # sharding-agnostic (shardings ride on the input arrays)
+    "mesh_shape", "data_axis",
 })
 
 

@@ -100,11 +100,18 @@ def load_audio_crop(path: str, center_t: float, *, aud_len: int,
     offset = center_t - margin - aud_sec / 2
     duration = margin * 2 + aud_sec
 
-    raw, sr = read_wav(path, max(offset, 0.0), duration)
+    read_from = max(offset, 0.0)
+    raw, sr = read_wav(path, read_from, duration)
     raw = resample(raw, sr, aud_rate)
 
     audio = np.zeros(aud_len, np.float32)
-    center_idx = int((margin + aud_sec / 2) * aud_rate)
+    # center of the crop INSIDE the buffer actually read: when the left
+    # context is clamped at t=0 (short rows from get_audios' fallback —
+    # territory where librosa in the reference would fail on a negative
+    # offset), the fixed (margin + audSec/2) index would shift the window
+    # up to `margin` seconds late and silently desync audio from the
+    # frames picked at center_t (review finding)
+    center_idx = int((center_t - read_from) * aud_rate)
     start = max(0, center_idx - aud_len // 2)
     end = min(len(raw), center_idx + aud_len // 2 + aud_len % 2)
     if end > start:

@@ -214,13 +214,18 @@ class MusicMixDataset:
             idxs = [int(round((t0 + cfg.audSec * k / cfg.clip_len) * fps))
                     for k in range(cfg.clip_len)]
             idxs = [min(max(i, 0), int(num_f) - 1) for i in idxs]
-            # center frames with stride
+            # center frames with stride — clamped to the clip like the
+            # clip indices above and frame_paths (review finding: an
+            # unclamped edge-of-clip cidx crashed the loader with
+            # FileNotFoundError on exactly the short rows the
+            # silence-retry fallback produces)
             center_idx = round(center_t * fps)
             if cfg.one_frame:
                 cidx = [center_idx]
             else:
                 cidx = [center_idx + (i - cfg.num_frames // 2)
                         * cfg.stride_frames for i in range(cfg.num_frames)]
+            cidx = [min(max(i, 0), int(num_f) - 1) for i in cidx]
             all_imgs = [Image.open(os.path.join(
                 fpath, "{:06d}.jpg".format(i))).convert("RGB")
                 for i in idxs + cidx]

@@ -50,7 +50,8 @@ def build_nets(cfg: Config) -> Nets:
     dtype = {"float32": _jnp.float32, "bfloat16": _jnp.bfloat16}[cfg.dtype]
     sound = ModelBuilder.build_sound(
         arch=cfg.arch_sound, fc_dim=cfg.num_channels,
-        fusion_type=cfg.fusion_type, att_type=cfg.att_type, dtype=dtype)
+        fusion_type=cfg.fusion_type, att_type=cfg.att_type,
+        num_sources=cfg.num_mix, dtype=dtype)
     frame = ModelBuilder.build_frame(
         arch=cfg.arch_frame, fc_dim=cfg.vis_channels,
         pool_type=cfg.img_pool, dtype=dtype)
@@ -67,6 +68,19 @@ def build_nets(cfg: Config) -> Nets:
 
 
 # ------------------------------------------------------------------ helpers
+
+
+def unused_visual_streams(cfg: Config) -> tuple:
+    """Visual batch keys ``forward()`` never reads for this fusion config.
+
+    The AV forward consumes exactly ONE visual stream — clips when
+    fusion_type=CoLoc_ClipAtt, frames otherwise (engine.forward_av) — so
+    loaders drop the other from the device dict like the AO iterator
+    drops both (the host->device wire is the in-situ bottleneck on
+    tunneled chips, BENCH_NOTES.md)."""
+    if cfg.fusion_type == "CoLoc_ClipAtt":
+        return ("frames",)
+    return ("clips",)
 
 
 def audio_mix_of(batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
@@ -449,6 +463,14 @@ def separate(nets: Nets, params, batch_stats, audio_mix: jnp.ndarray,
     sound_vars = {"params": params["sound"],
                   "batch_stats": batch_stats["sound"]}
 
+    # the fusion 'duet' spatial-concat option is dead in the REFERENCE
+    # too: fusion_net.py:83-90 implements it but no reference caller ever
+    # passes option='duet' (fork drift, like duet_vis_rate).  The live
+    # duet demo path instead duplicates the single visual stream below
+    # (reference inference.py:65-73).  The implementation is kept (and
+    # pinned by tests/test_duet_option.py) for parity with the module
+    # surface; this constant records that no production caller draws the
+    # reference's host-side concat coin.
     option = None
     if frames is not None:
         # normalize BEFORE any blanking: the reference's blank frame is

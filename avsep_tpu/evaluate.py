@@ -23,7 +23,8 @@ from avsep_tpu.config import Config
 from avsep_tpu.data.audio_io import write_wav
 from avsep_tpu.data.wire import audios_of, encode_audio_wire
 from avsep_tpu.data.video_transforms import denormalize
-from avsep_tpu.engine import Nets, audio_mix_of, forward
+from avsep_tpu.engine import (
+    Nets, audio_mix_of, forward, unused_visual_streams)
 from avsep_tpu.utils.jit_cache import JitStepCache
 from avsep_tpu.ops.metrics import eval_metrics
 from avsep_tpu.ops.stft import istft, stft_magphase
@@ -163,10 +164,13 @@ def evaluate(cfg: Config, nets: Nets, params, batch_stats, loader, history,
             # audio_mix is rebuilt on device (engine.audio_mix_of)
             if not isinstance(v, np.ndarray) or k == "audio_mix":
                 continue
-            # the AO branch never reads the visual streams (forward_ao);
-            # don't ship the dominant wire payload for them — same drop
-            # the train loop applies to its AO iterator (main.py)
+            # ship only streams this branch's forward reads: the AO
+            # branch reads neither visual stream (forward_ao), the AV
+            # branch exactly one (engine.unused_visual_streams) — same
+            # drops the train loop applies to its iterators (main.py)
             if not use_vis_eval and k in ("frames", "clips"):
+                continue
+            if use_vis_eval and k in unused_visual_streams(cfg):
                 continue
             if v.shape[0] < pad_to:  # pad ragged batch (static jit shapes);
                 # padded rows are dropped from the meters below

@@ -30,9 +30,10 @@ from avsep_tpu.data.wire import encode_audio_wire
 from avsep_tpu.data.loader import (
     BatchLoader, ConcatDataset, DevicePrefetcher, ProcessBatchLoader,
     iter_forever)
-from avsep_tpu.engine import build_nets
+from avsep_tpu.engine import build_nets, unused_visual_streams
 from avsep_tpu.evaluate import evaluate
-from avsep_tpu.parallel.mesh import make_mesh, shard_batch
+from avsep_tpu.parallel.mesh import (
+    make_mesh, mesh_from_config, shard_batch)
 from avsep_tpu.train import (
     batch_scheduler, init_state, make_train_step)
 from avsep_tpu.utils.meters import AverageMeter, new_history
@@ -134,7 +135,7 @@ def main(cfg: Config):
         # DataParallel over range(num_gpus)), clamped to the devices
         # actually present
         n_dev = max(1, min(cfg.num_gpus, len(jax.devices())))
-    mesh = make_mesh(n_dev)
+    mesh = mesh_from_config(cfg, n_dev)
     nets = build_nets(cfg)
     rng = jax.random.PRNGKey(cfg.seed)
     rng, init_rng = jax.random.split(rng)
@@ -180,8 +181,10 @@ def main(cfg: Config):
     use_vis_fn = batch_scheduler(cfg)
     # device-side prefetch: batch i+1's host->device transfer rides under
     # batch i's step instead of showing up in data_time
-    av_iter = DevicePrefetcher(iter_forever(av_loader),
-                               lambda b: to_device(b, mesh, cfg=cfg))
+    av_iter = DevicePrefetcher(
+        iter_forever(av_loader),
+        lambda b: to_device(b, mesh, drop=unused_visual_streams(cfg),
+                            cfg=cfg))
     ao_iter = DevicePrefetcher(iter_forever(ao_loader),
                                lambda b: to_device(b, mesh,
                                                    drop=("frames", "clips"),
@@ -217,15 +220,24 @@ def _train_loop(cfg, nets, state, history, best_holder, start_i, rng, mesh,
 
     err_total = err_av = err_ao = 0.0
     av_count = ao_count = 0
+    trace_active = False
 
-    for i in range(start_i + 1, cfg.num_iters):
+    def _stop_trace():
+        nonlocal trace_active
+        if trace_active:
+            jax.profiler.stop_trace()
+            trace_active = False
+            print(f"profiler trace written to {cfg.profile_dir}")
+
+    try:
+      for i in range(start_i + 1, cfg.num_iters):
         # on-demand device trace capture (the reference only has wall-clock
         # meters, main.py:703-714; this adds real profiler traces)
         if cfg.profile_dir and i == cfg.profile_start:
             jax.profiler.start_trace(cfg.profile_dir)
-        if cfg.profile_dir and i == cfg.profile_start + cfg.profile_steps:
-            jax.profiler.stop_trace()
-            print(f"profiler trace written to {cfg.profile_dir}")
+            trace_active = True
+        if trace_active and i == cfg.profile_start + cfg.profile_steps:
+            _stop_trace()
 
         tic = time.perf_counter()
         use_vis = use_vis_fn(i)
@@ -289,6 +301,11 @@ def _train_loop(cfg, nets, state, history, best_holder, start_i, rng, mesh,
                      history, i, False, mesh=mesh)
             checkpoint(cfg.ckpt, state, history, best_holder)
         # LR decay happens inside the optax schedule at cfg.lr_steps.
+    finally:
+        # flush a live trace if the loop ends or raises inside the
+        # profiled window (review finding: stop_trace only ran at the
+        # exact boundary iteration, so a short run never wrote the trace)
+        _stop_trace()
 
 
 if __name__ == "__main__":

@@ -143,7 +143,9 @@ def _random_slot_swap(blocks: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
 
 def _ao_forward(x: jnp.ndarray, rng: jax.Array, C: int = 2) -> FusionOut:
     """Audio-only path: shuffle the per-source chunks and broadcast them as
-    the guidance (reference fusion_net.py:93-104)."""
+    the guidance (reference fusion_net.py:93-104).  ``C`` must match the
+    AV branch's source count (callers thread ``n_sources`` through) so AO
+    and AV iterations chunk the bottleneck identically."""
     B, h, w, D = x.shape
     blocks = _random_slot_swap(_pool_chunks(x, C), rng)
     guidance = _broadcast_guidance(blocks, h, w)
@@ -162,7 +164,7 @@ def _duet_vcat(v: jnp.ndarray, axis_h: bool) -> jnp.ndarray:
 
 def coloc(x: jnp.ndarray, v: Optional[jnp.ndarray], *, att_type: str = "cos",
           rng: Optional[jax.Array] = None, option: Optional[str] = None,
-          select: bool = False) -> FusionOut:
+          select: bool = False, n_sources: int = 2) -> FusionOut:
     """CoLoc / CoLoc_Sel fusion (reference fusion_net.py:20-226).
 
     Args:
@@ -175,9 +177,11 @@ def coloc(x: jnp.ndarray, v: Optional[jnp.ndarray], *, att_type: str = "cos",
         fusion_net.py:88, becomes this static choice).
       select: False -> CoLoc (attention-pooled guidance); True -> CoLoc_Sel
         (argmax-pixel guidance, reference fusion_net.py:163-169).
+      n_sources: chunk count for the AO branch (the AV branch infers it
+        from v; both must agree so AO/AV iterations chunk identically).
     """
     if v is None:
-        return _ao_forward(x, rng)
+        return _ao_forward(x, rng, n_sources)
     if option in ("duet", "duet_h", "duet_w"):
         v = _duet_vcat(v, axis_h=option != "duet_w")
 
@@ -208,11 +212,13 @@ def coloc(x: jnp.ndarray, v: Optional[jnp.ndarray], *, att_type: str = "cos",
 
 def mixvis(x: jnp.ndarray, v: Optional[jnp.ndarray], *,
            att_type: str = "cos", rng: Optional[jax.Array] = None,
-           option: Optional[str] = None) -> FusionOut:
+           option: Optional[str] = None,
+           n_sources: int = 2) -> FusionOut:
     """MixVis fusion: a single mixture visual map (reference
-    fusion_net.py:229-311)."""
+    fusion_net.py:229-311).  Two-source only (engine guards num_mix);
+    ``n_sources`` is accepted for a uniform fusion signature."""
     if v is None:
-        return _ao_forward(x, rng)
+        return _ao_forward(x, rng, n_sources)
     vm = v[0]                                       # [B, H, W, Dc]
     B, h, w, D = x.shape
     C = 2

@@ -28,6 +28,30 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devs), (axis_name,))
 
 
+def mesh_from_config(cfg, n_devices: Optional[int] = None) -> Mesh:
+    """Build the device mesh from config: ``--mesh_shape`` overrides the
+    data-axis width (1-axis only — DP is the reference's parity scope,
+    SURVEY section 2.3), ``--data_axis`` names the axis.  ``n_devices``
+    is the caller's default width (None = all devices).
+    """
+    if cfg.mesh_shape:
+        if len(cfg.mesh_shape) != 1:
+            raise ValueError(
+                "only 1-axis (data-parallel) meshes are supported; got "
+                f"mesh_shape={tuple(cfg.mesh_shape)}")
+        w = int(cfg.mesh_shape[0])
+        avail = len(jax.devices())
+        if w > avail:
+            raise ValueError(f"mesh_shape={w} exceeds the {avail} "
+                             "available devices")
+        if jax.process_count() > 1 and w != avail:
+            raise ValueError("multi-host jobs must span every device "
+                             f"(mesh_shape={w}, devices={avail}): all "
+                             "processes participate in every SPMD program")
+        n_devices = w
+    return make_mesh(n_devices, cfg.data_axis)
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard dim 0 (batch) across the data axis."""
     return NamedSharding(mesh, P(axis_name))

@@ -31,7 +31,7 @@ from avsep_tpu.main import build_loaders, to_device
 from avsep_tpu.models.resnet import FrameEncoder
 from avsep_tpu.models.sop import BasisUnet
 from avsep_tpu.models.synthesizer import Bias, InnerProd
-from avsep_tpu.parallel.mesh import make_mesh, shard_tree
+from avsep_tpu.parallel.mesh import mesh_from_config, shard_tree
 from avsep_tpu.utils.jit_cache import JitStepCache
 from avsep_tpu.sop_engine import SopNets, sop_forward, stage_for_iter
 from avsep_tpu.train import TrainState, _lr_schedule, batch_scheduler
@@ -169,7 +169,7 @@ def main(cfg: Config):
     from avsep_tpu.checkpoint import (
         checkpoint, load_history, restore_checkpoint)
 
-    mesh = make_mesh()
+    mesh = mesh_from_config(cfg)
     nets = build_sop_nets(cfg)
     rng = jax.random.PRNGKey(cfg.seed)
     rng, init_rng = jax.random.split(rng)

@@ -371,3 +371,39 @@ def test_shard_dataset_disjoint_cover_equal_length():
     assert seen[0] & seen[1] == set() and seen[1] & seen[2] == set() \
         and seen[0] & seen[2] == set()
     assert seen[0] | seen[1] | seen[2] == {0, 1, 2, 3, 4, 5, 6, 7, 8}
+
+
+def test_clips_center_frames_clamped(manifest):
+    """Edge-of-clip center-frame indices in the clip path must clamp to
+    the available frames like frame_paths does — an unclamped negative
+    index formats as '-00004.jpg' and kills the loader with
+    FileNotFoundError on exactly the short rows the silence-retry
+    fallback produces (review finding)."""
+    cfg = make_cfg(load_clips=True, clip_len=4, one_frame=False,
+                   num_frames=3, stride_frames=1000)  # +-1000 frames
+    ds = MusicMixDataset(manifest, cfg, split="val")
+    s = ds[0]  # must not raise
+    assert s["frames"].shape[1] == cfg.num_frames
+    assert s["clips"].shape[1] == cfg.clip_len
+
+
+def test_audio_crop_center_stays_at_center_t(tmp_path):
+    """When the left context clamps at t=0 (short file), the crop must
+    still be centered at center_t — the fixed (margin + audSec/2) index
+    shifted the window up to `margin` seconds late (review finding).
+    An impulse at center_t must land in the middle of the crop."""
+    from avsep_tpu.data.audio_io import load_audio_crop
+
+    sr, aud_len = SR, 4096
+    center_t = 0.4  # margin=1.0 -> offset = 0.4 - 1.0 - aud_sec/2 < 0
+    wav = np.zeros(3 * sr, np.float32)
+    wav[int(center_t * sr)] = 0.9
+    p = str(tmp_path / "imp.wav")
+    write_wav(p, wav, sr)
+    out = load_audio_crop(p, center_t, aud_len=aud_len, aud_rate=sr,
+                          margin=1.0)
+    peak = int(np.argmax(np.abs(out)))
+    assert abs(peak - aud_len // 2) <= 2, peak
+    # unclamped case unchanged: centered crop deep inside the file
+    out2 = load_audio_crop(p, 2.0, aud_len=aud_len, aud_rate=sr, margin=1.0)
+    assert np.abs(out2).max() == 0.0  # impulse not in this window

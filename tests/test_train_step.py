@@ -373,7 +373,7 @@ def test_num_mix_three_end_to_end():
     cfg = tiny_cfg(num_mix=3, num_channels=3)
     nets = Nets(
         AudioUnet(fc_dim=3, num_downs=5, ngf=12, fusion_type="hidsep",
-                  att_type="sig"),
+                  att_type="sig", num_sources=3),
         FrameEncoder(fc_dim=cfg.vis_channels, pool_type="maxpool",
                      dilate_scale=16))
     rs = np.random.RandomState(0)
@@ -428,3 +428,65 @@ def test_mixvis_requires_two_sources():
     with pytest.raises(ValueError, match="num_mix=2 only"):
         forward_avmiximg(nets, {}, {}, batch, cfg, jax.random.PRNGKey(0),
                          train=False)
+
+
+def test_mesh_from_config():
+    """--mesh_shape picks the 1-axis data-mesh width; multi-axis shapes
+    and oversubscription raise clearly (both were silently ignored dead
+    config before — review finding)."""
+    from avsep_tpu.parallel.mesh import mesh_from_config
+
+    cfg = tiny_cfg()
+    m = mesh_from_config(cfg.replace(mesh_shape=(4,)))
+    assert m.devices.size == 4 and m.axis_names == ("data",)
+    m2 = mesh_from_config(cfg.replace(mesh_shape=(), data_axis="dp"), 2)
+    assert m2.devices.size == 2 and m2.axis_names == ("dp",)
+    with pytest.raises(ValueError, match="1-axis"):
+        mesh_from_config(cfg.replace(mesh_shape=(2, 2)))
+    with pytest.raises(ValueError, match="exceeds"):
+        mesh_from_config(cfg.replace(mesh_shape=(512,)))
+
+
+def test_unused_visual_streams_dropped():
+    """The AV iterator ships exactly one visual stream: clips for
+    CoLoc_ClipAtt, frames otherwise (review finding: both streams
+    crossed the wire under --load_clips)."""
+    from avsep_tpu.engine import unused_visual_streams
+    from avsep_tpu.main import to_device
+    from avsep_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_cfg(load_clips=True, clip_len=2)
+    assert unused_visual_streams(cfg) == ("clips",)
+    assert unused_visual_streams(
+        cfg.replace(fusion_type="CoLoc_ClipAtt")) == ("frames",)
+
+    mesh = make_mesh(1)
+    batch = {"audios": np.zeros((2, 2, 64), np.float32),
+             "frames": np.zeros((2, 2, 1, 8, 8, 3), np.uint8),
+             "clips": np.zeros((2, 2, 2, 8, 8, 3), np.uint8)}
+    dev = to_device(batch, mesh, drop=unused_visual_streams(cfg), cfg=cfg)
+    assert set(dev) == {"audios", "frames"}
+    dev2 = to_device(batch, mesh,
+                     drop=unused_visual_streams(
+                         cfg.replace(fusion_type="CoLoc_ClipAtt")),
+                     cfg=cfg)
+    assert set(dev2) == {"audios", "clips"}
+
+
+def test_ao_forward_chunks_match_source_count():
+    """The audio-only fusion branch must chunk the bottleneck into the
+    SAME n_sources chunks as the AV branch (review finding: AO silently
+    used C=2 regardless).  With C=3, the broadcast guidance must be a
+    permutation of the three distinct chunk vectors."""
+    from avsep_tpu.models.fusion import _ao_forward
+
+    B, h, w, D = 2, 2, 2, 12
+    x = np.zeros((B, h, w, D), np.float32)
+    for c in range(3):  # chunk c filled with value c+1
+        x[..., c * 4:(c + 1) * 4] = c + 1
+    out = _ao_forward(jnp.asarray(x), jax.random.PRNGKey(0), C=3)
+    guidance = np.asarray(out.features[..., :D])  # [B, h, w, D]
+    for b in range(B):
+        vec = guidance[b, 0, 0]
+        chunks = [tuple(vec[c * 4:(c + 1) * 4]) for c in range(3)]
+        assert sorted(set(c[0] for c in chunks)) == [1.0, 2.0, 3.0], chunks
