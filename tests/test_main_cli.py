@@ -73,3 +73,25 @@ def test_main_warm_restart(manifest, tmp_path):  # noqa: F811
     # resumed past the first run's display ticks; both evals recorded
     assert h2["val_ao"]["iter"][-1] == 6
     assert h2["train"]["iter"][-1] > h1["train"]["iter"][-1]
+
+
+def test_check_exp_reports_best_epoch(tmp_path, capsys):
+    """check_exp picks the max-SI-SDR eval per branch (reference
+    check_exp.py prints best-epoch sdr/sir/si-snr from the history json)."""
+    import json
+    from avsep_tpu import check_exp
+
+    hist = {
+        "val_ao": {"iter": [100, 200, 300], "err": [1.0, 0.9, 0.95],
+                   "sdr": [1.0, 2.5, 2.0], "sir": [3.0, 4.5, 4.0],
+                   "sar": [5.0, 6.0, 5.5], "si_sdr": [0.5, 1.5, 1.2]},
+        "val_av": {"iter": [], "err": [], "sdr": [], "sir": [],
+                   "sar": [], "si_sdr": []},
+    }
+    (tmp_path / "history_latest.json").write_text(json.dumps(hist))
+    check_exp.main(str(tmp_path))
+    out = capsys.readouterr().out
+    assert "The best val_ao epoch is 200" in out
+    assert "si-snr: 1.5" in out
+    assert "sdr: 2.5" in out and "sir: 4.5" in out
+    assert "val_av: no evals recorded" in out
