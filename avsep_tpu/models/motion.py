@@ -98,10 +98,33 @@ class ResNet3dFastOnly(nn.Module):
 
 
 def motion_from_torch(sd: Mapping):
-    """Import an mmaction ResNet3d fast-pathway state_dict (keys like
-    ``conv1.conv.weight`` / ``layer1.0.conv1.bn.running_mean`` after the
-    reference's ``backbone.`` strip, models/__init__.py:114-116)."""
+    """Import an mmaction ResNet3d fast-pathway state_dict.
+
+    The reference (models/__init__.py:114-117) filters out ``cls_head`` /
+    ``slow_path`` entries and strips ``backbone.``; in the real mmaction
+    SlowFast checkpoint the surviving fast-pathway keys then still carry a
+    ``fast_path.`` prefix (mmaction names the pathways ``slow_path`` /
+    ``fast_path``), i.e. ``fast_path.conv1.conv.weight``.  This importer
+    normalizes all three layouts — raw checkpoint keys
+    (``backbone.fast_path....``), post-strip keys (``fast_path....``), and
+    bare keys (``conv1.conv.weight``) — before mapping, so it accepts both
+    the on-disk ``slowfast_r50_..._kinetics400_rgb`` file and any
+    already-stripped dict.  (The real checkpoint is not available in this
+    environment; the golden test pins the mapping on synthetic dicts in
+    both prefixed and bare layouts.)
+    """
     import numpy as np
+
+    norm = {}
+    for k, v in sd.items():
+        if "cls_head" in k or "slow_path" in k:
+            continue
+        if k.startswith("backbone."):
+            k = k[len("backbone."):]
+        if k.startswith("fast_path."):
+            k = k[len("fast_path."):]
+        norm[k] = v
+    sd = norm
 
     def conv(w):
         a = np.asarray(w.detach().cpu().numpy() if hasattr(w, "detach")

@@ -76,22 +76,48 @@ def test_main_warm_restart(manifest, tmp_path):  # noqa: F811
 
 
 def test_check_exp_reports_best_epoch(tmp_path, capsys):
-    """check_exp picks the max-SI-SDR eval per branch (reference
-    check_exp.py prints best-epoch sdr/sir/si-snr from the history json)."""
+    """check_exp mirrors the reference's coupled reporting (check_exp.py:
+    6-15): at the best-AO epoch it prints BOTH branches' metrics rounded
+    to 2 decimals, then both again at the best-AV epoch; an empty branch
+    reports gracefully instead of crashing on argmax([])."""
     import json
     from avsep_tpu import check_exp
 
     hist = {
         "val_ao": {"iter": [100, 200, 300], "err": [1.0, 0.9, 0.95],
-                   "sdr": [1.0, 2.5, 2.0], "sir": [3.0, 4.5, 4.0],
+                   "sdr": [1.0, 2.513, 2.0], "sir": [3.0, 4.518, 4.0],
                    "sar": [5.0, 6.0, 5.5], "si_sdr": [0.5, 1.5, 1.2]},
+        "val_av": {"iter": [100, 200, 300], "err": [1.0, 0.9, 0.95],
+                   "sdr": [0.9, 1.1, 3.2], "sir": [2.0, 2.1, 5.25],
+                   "sar": [4.0, 4.1, 6.0], "si_sdr": [0.4, 0.6, 2.8]},
+    }
+    (tmp_path / "history_latest.json").write_text(json.dumps(hist))
+    check_exp.main(str(tmp_path))
+    out = capsys.readouterr().out
+    # best-AO epoch (200) reports the AO row AND the AV row at epoch 200
+    assert "Best AO model (epoch 200):" in out
+    assert "AO: sir: 4.52, SDR: 2.51, SI-SNR: 1.5" in out
+    assert "AV: sir: 2.1, SDR: 1.1, SI-SNR: 0.6" in out
+    # best-AV epoch (300) reports both rows at epoch 300
+    assert "Best AV model (epoch 300):" in out
+    assert "AV: sir: 5.25, SDR: 3.2, SI-SNR: 2.8" in out
+    assert "AO: sir: 4.0, SDR: 2.0, SI-SNR: 1.2" in out
+
+
+def test_check_exp_empty_branch(tmp_path, capsys):
+    import json
+    from avsep_tpu import check_exp
+
+    hist = {
+        "val_ao": {"iter": [100], "err": [1.0], "sdr": [1.0], "sir": [3.0],
+                   "sar": [5.0], "si_sdr": [0.5]},
         "val_av": {"iter": [], "err": [], "sdr": [], "sir": [],
                    "sar": [], "si_sdr": []},
     }
     (tmp_path / "history_latest.json").write_text(json.dumps(hist))
     check_exp.main(str(tmp_path))
     out = capsys.readouterr().out
-    assert "The best val_ao epoch is 200" in out
-    assert "si-snr: 1.5" in out
-    assert "sdr: 2.5" in out and "sir: 4.5" in out
     assert "val_av: no evals recorded" in out
+    assert "Best AO model (epoch 100):" in out
+    # the coupled AV row at the best-AO epoch is absent, reported as such
+    assert "AV: no eval recorded at this epoch" in out

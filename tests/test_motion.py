@@ -110,14 +110,28 @@ def _torch_fast_pathway(sd, x):
     return y
 
 
-def test_motion_from_torch_structure_and_parity():
+@pytest.mark.parametrize("layout", ["bare", "fast_path", "raw_ckpt"])
+def test_motion_from_torch_structure_and_parity(layout):
     import flax
     from flax.traverse_util import flatten_dict
     from avsep_tpu.models.motion import motion_from_torch
 
     rng = np.random.default_rng(0)
     sd = _rand_mmaction_sd(rng)
-    params, stats = motion_from_torch(sd)
+    if layout == "fast_path":
+        # the post-backbone.-strip layout of the real mmaction SlowFast
+        # checkpoint: fast-pathway keys keep their fast_path. prefix
+        fed = {"fast_path." + k: v for k, v in sd.items()}
+    elif layout == "raw_ckpt":
+        # the on-disk state_dict layout the reference loads
+        # (models/__init__.py:114-116) incl. entries its filter drops
+        fed = {"backbone.fast_path." + k: v for k, v in sd.items()}
+        fed["backbone.slow_path.conv1.conv.weight"] = np.zeros(
+            (1,), np.float32)
+        fed["cls_head.fc_cls.weight"] = np.zeros((1,), np.float32)
+    else:
+        fed = sd
+    params, stats = motion_from_torch(fed)
 
     net = ResNet3dFastOnly(base_channels=8)
     x = rng.standard_normal((1, 4, 32, 32, 3)).astype(np.float32)
