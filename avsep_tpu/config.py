@@ -126,6 +126,14 @@ class Config:
                                     # (bit-exact) or "int16" (+per-source
                                     # gains, ~half the audio bytes; see
                                     # data/wire.py)
+    frame_decode: str = "auto"      # host frame decode path: "auto" = C++
+                                    # libjpeg + PIL-exact fused
+                                    # resample/crop when native/
+                                    # libavsep_frames.so loads
+                                    # (bit-identical pixels), "native" =
+                                    # require it, "fast" = + DCT-scaled
+                                    # decode (approximate pixels, fastest),
+                                    # "pil" = force the pure-Python path
     data_axis: str = "data"          # mesh axis name for DP
                                      # (parallel.mesh.mesh_from_config)
     mesh_shape: Tuple[int, ...] = ()  # (N,) -> N-device 1-axis data mesh;
@@ -229,7 +237,7 @@ _HOST_ONLY_FIELDS = frozenset({
     "restart_from_latest", "duet_vis_rate", "demo_mode",
     "profile_dir", "profile_start", "profile_steps",
     "dist_coordinator", "dist_nprocs", "dist_procid", "dist_data",
-    "frameRate", "stride_frames", "seed", "num_gpus",
+    "frameRate", "stride_frames", "seed", "num_gpus", "frame_decode",
     "batch_size_per_gpu", "train_steps",
     # mesh construction happens before any jit; the step programs are
     # sharding-agnostic (shardings ride on the input arrays)

@@ -177,21 +177,107 @@ class MusicMixDataset:
                              "{:06d}.jpg".format(min(max(i, 0), last)))
                 for i in idxs]
 
+    # ------------------------------------------------- native frame decode
+
+    def _native_frames_enabled(self) -> bool:
+        """--frame_decode auto|native|fast|pil (TPU-native addition): the
+        C++ libjpeg + PIL-exact-resample fast path
+        (native/avsep_frames.cpp) replaces the reference's per-frame PIL
+        decode in Python workers (reference dataset/music.py:132-156, the
+        measured host bottleneck of the real-data loop).  Numerics are
+        bit-identical to the PIL path (tests/test_native_frames.py), so
+        'auto' uses it whenever the library loads; 'fast' additionally
+        decodes at a reduced DCT scale (approximate pixels, biggest
+        decode saving on large frames)."""
+        fd = getattr(self.cfg, "frame_decode", "auto")
+        if fd == "pil":
+            return False
+        from avsep_tpu.data import native
+        ok = native.frames_available()
+        if not ok and fd in ("native", "fast"):
+            raise RuntimeError(
+                f"--frame_decode {fd} requested but libavsep_frames.so "
+                "is unavailable (libjpeg or a C++ compiler is missing)")
+        return ok
+
+    @property
+    def _fast_decode(self) -> bool:
+        return getattr(self.cfg, "frame_decode", "auto") == "fast"
+
+    @staticmethod
+    def _pil_apply(paths, resize, crop, final, flip) -> np.ndarray:
+        """Apply already-drawn transform params with PIL — the fallback
+        when the native batch call fails mid-sample (e.g. one corrupt
+        jpg), keeping the rng stream identical to the native path."""
+        from avsep_tpu.data.video_transforms import to_uint8_array
+        imgs = [Image.open(p).convert("RGB") for p in paths]
+        if resize:
+            imgs = [im.resize(resize, Image.BICUBIC) for im in imgs]
+        if crop:
+            left, top, cw, ch = crop
+            imgs = [im.crop((left, top, left + cw, top + ch))
+                    for im in imgs]
+        if final:
+            imgs = [im.resize(final, Image.BICUBIC) for im in imgs]
+        if flip:
+            imgs = [im.transpose(Image.FLIP_LEFT_RIGHT) for im in imgs]
+        return to_uint8_array(imgs)
+
     def get_frames(self, infos, center_times, rng: random.Random):
         cfg = self.cfg
+        use_native = self._native_frames_enabled()
         out = []
         for info, t in zip(infos, center_times):
             paths = self.frame_paths(info, t, rng)
-            imgs = [Image.open(p).convert("RGB") for p in paths]
-            # uint8 wire format: ImageNet normalization runs on device
-            # (engine.normalize_frames) — 4x fewer host->device bytes
-            if self.split == "train":
-                out.append(train_transform(imgs, cfg.imgSize, rng,
-                                           normalize=False))
+            arr = None
+            if use_native:
+                arr = self._native_center_frames(paths, rng)
+            if arr is None:
+                imgs = [Image.open(p).convert("RGB") for p in paths]
+                # uint8 wire format: ImageNet normalization runs on device
+                # (engine.normalize_frames) — 4x fewer host->device bytes
+                if self.split == "train":
+                    arr = train_transform(imgs, cfg.imgSize, rng,
+                                          normalize=False)
+                else:
+                    arr = val_transform(imgs, cfg.imgSize, normalize=False)
+            out.append(arr)
+        return np.stack(out)
+
+    def _native_center_frames(self, paths, rng: random.Random):
+        """Native equivalent of train_transform/val_transform: identical
+        geometry (resize_shorter_dims / center_crop_box) and identical
+        rng draw order as video_transforms.{random_crop,random_hflip}."""
+        from avsep_tpu.data import native
+        from avsep_tpu.data.video_transforms import (center_crop_box,
+                                                     resize_shorter_dims)
+        cfg = self.cfg
+        dims = native.jpeg_probe_dims(paths[0])
+        if dims is None:  # unreadable/non-jpeg: PIL path, no draws burned
+            return None
+        w, h = dims
+        S = cfg.imgSize
+        if self.split == "train":
+            rw, rh = resize_shorter_dims(w, h, int(S * 1.1))
+            if (rw, rh) == (S, S):
+                # random_crop's no-op early return consumes no draws
+                crop = None
             else:
-                out.append(val_transform(imgs, cfg.imgSize,
-                                         normalize=False))
-        return np.stack(out)  # [N, T, H, W, 3] uint8
+                left = rng.randint(0, max(rw - S, 0))
+                top = rng.randint(0, max(rh - S, 0))
+                crop = (left, top, S, S)
+            flip = rng.random() < 0.5
+        else:
+            rw, rh = resize_shorter_dims(w, h, S)
+            left, top = center_crop_box(rw, rh, S)
+            crop = (left, top, S, S)
+            flip = False
+        arr = native.frame_pipeline_batch(paths, S, S, resize=(rw, rh),
+                                          crop=crop, hflip=flip,
+                                          fast=self._fast_decode)
+        if arr is None:  # decode failed after draws: PIL with SAME params
+            arr = self._pil_apply(paths, (rw, rh), crop, None, flip)
+        return arr  # [N, T, H, W, 3] uint8
 
     def get_frames_clips(self, infos, center_times, rng: random.Random):
         """Clip pipeline (reference ``get_frames_mmcv``, dataset/
@@ -205,6 +291,7 @@ class MusicMixDataset:
             center_crop, random_hflip, random_resized_crop, resize_shorter,
             to_uint8_array)
         cfg = self.cfg
+        use_native = self._native_frames_enabled()
         center_list, clip_list = [], []
         for info, center_t in zip(infos, center_times):
             _, fpath, num_f, fps = info[0], info[1], float(info[2]), \
@@ -226,9 +313,16 @@ class MusicMixDataset:
                 cidx = [center_idx + (i - cfg.num_frames // 2)
                         * cfg.stride_frames for i in range(cfg.num_frames)]
             cidx = [min(max(i, 0), int(num_f) - 1) for i in cidx]
-            all_imgs = [Image.open(os.path.join(
-                fpath, "{:06d}.jpg".format(i))).convert("RGB")
-                for i in idxs + cidx]
+            all_paths = [os.path.join(fpath, "{:06d}.jpg".format(i))
+                         for i in idxs + cidx]
+            arr = None
+            if use_native:
+                arr = self._native_clip_frames(all_paths, rng)
+            if arr is not None:
+                clip_list.append(arr[: cfg.clip_len])
+                center_list.append(arr[cfg.clip_len:])
+                continue
+            all_imgs = [Image.open(p).convert("RGB") for p in all_paths]
             all_imgs = resize_shorter(all_imgs, 256)
             if self.split == "train":
                 all_imgs = random_resized_crop(all_imgs, cfg.imgSize, rng)
@@ -241,6 +335,45 @@ class MusicMixDataset:
             clip_list.append(arr[: cfg.clip_len])
             center_list.append(arr[cfg.clip_len:])
         return np.stack(center_list), np.stack(clip_list)
+
+    def _native_clip_frames(self, all_paths, rng: random.Random):
+        """Native equivalent of the clip transform chain: Resize(-1, 256)
+        -> [train: RandomResizedCrop -> imgSize, flip | val:
+        CenterCrop(min(imgSize, 224))], same draws as the PIL path."""
+        from avsep_tpu.data import native
+        from avsep_tpu.data.video_transforms import (center_crop_box,
+                                                     resize_shorter_dims,
+                                                     rrc_params)
+        cfg = self.cfg
+        dims = native.jpeg_probe_dims(all_paths[0])
+        if dims is None:
+            return None
+        w, h = dims
+        rw, rh = resize_shorter_dims(w, h, 256)
+        final = None
+        if self.split == "train":
+            S = cfg.imgSize
+            p = rrc_params(rw, rh, rng)
+            if p is None:  # 10-attempt fallback: center crop min side
+                m = min(rw, rh)
+                left, top = center_crop_box(rw, rh, m)
+                crop = (left, top, m, m)
+            else:
+                crop = p
+            final = (S, S)
+            flip = rng.random() < 0.5
+        else:
+            S = min(cfg.imgSize, 224)
+            left, top = center_crop_box(rw, rh, S)
+            crop = (left, top, S, S)
+            flip = False
+        arr = native.frame_pipeline_batch(all_paths, S, S, resize=(rw, rh),
+                                          crop=crop, final=final,
+                                          hflip=flip,
+                                          fast=self._fast_decode)
+        if arr is None:  # decode failed after draws: PIL with SAME params
+            arr = self._pil_apply(all_paths, (rw, rh), crop, final, flip)
+        return arr
 
     def get_ids_labels(self, infos, index, center_times):
         """Sample name string + class ids (reference dataset/music.py:231-243)."""

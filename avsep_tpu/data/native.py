@@ -19,10 +19,13 @@ import numpy as np
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libavsep_host.so")
+_FRAMES_LIB_PATH = os.path.join(_NATIVE_DIR, "libavsep_frames.so")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_flib: Optional[ctypes.CDLL] = None
+_ftried = False
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -74,6 +77,117 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def _load_frames() -> Optional[ctypes.CDLL]:
+    """libavsep_frames.so: libjpeg decode + PIL-exact resample (its own
+    shared object so a host without libjpeg keeps the audio fast path)."""
+    global _flib, _ftried
+    with _lock:
+        if _flib is not None or _ftried:
+            return _flib
+        _ftried = True
+        try:
+            if not os.path.exists(_FRAMES_LIB_PATH):
+                subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                               capture_output=True, timeout=120)
+            lib = ctypes.CDLL(_FRAMES_LIB_PATH)
+            lib.jpeg_probe.restype = ctypes.c_int
+            lib.jpeg_probe.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int)]
+            lib.jpeg_decode_rgb.restype = ctypes.c_int
+            lib.jpeg_decode_rgb.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int)]
+            lib.resize_rgb.restype = ctypes.c_int
+            lib.resize_rgb.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int]
+            lib.frame_pipeline_batch.restype = ctypes.c_int
+            lib.frame_pipeline_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                ctypes.c_int, ctypes.c_int,                    # rw, rh
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int,                    # fw, fh
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,      # flip, filter,
+                                                               # fast
+                ctypes.c_int, ctypes.c_int,                    # out_h, out_w
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]  # out, threads
+            _flib = lib
+        except Exception as e:  # no compiler / no libjpeg -> PIL fallback
+            print(f"[avsep_tpu.native] frame decode falling back to PIL "
+                  f"({e})")
+            _flib = None
+        return _flib
+
+
+def frames_available() -> bool:
+    return _load_frames() is not None
+
+
+def jpeg_probe_dims(path: str) -> Optional[Tuple[int, int]]:
+    """(width, height) from the JPEG header, or None on any failure."""
+    lib = _load_frames()
+    if lib is None:
+        return None
+    w = ctypes.c_int(0)
+    h = ctypes.c_int(0)
+    if lib.jpeg_probe(path.encode(), ctypes.byref(w),
+                      ctypes.byref(h)) != 0:
+        return None
+    return w.value, h.value
+
+
+def resize_rgb(img: np.ndarray, oh: int, ow: int,
+               filt: str = "bicubic") -> Optional[np.ndarray]:
+    """PIL-exact uint8 RGB resize (tests compare vs Image.resize)."""
+    lib = _load_frames()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, np.uint8)
+    ih, iw = img.shape[:2]
+    out = np.empty((oh, ow, 3), np.uint8)
+    u8p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    rc = lib.resize_rgb(u8p(img), ih, iw, u8p(out), oh, ow,
+                        1 if filt == "bicubic" else 0)
+    return out if rc == 0 else None
+
+
+# default per-call decode threads; the call releases the GIL so threads
+# help both the thread loader and single-process eval (override with env)
+_FRAME_THREADS = int(os.environ.get("AVSEP_FRAME_THREADS", "4"))
+
+
+def frame_pipeline_batch(paths, out_h: int, out_w: int, *,
+                         resize=None, crop=None, final=None,
+                         hflip: bool = False, filt: str = "bicubic",
+                         fast: bool = False,
+                         n_threads: Optional[int] = None
+                         ) -> Optional[np.ndarray]:
+    """Fused decode -> resize -> crop -> resize -> flip over a frame list
+    sharing ONE parameter draw (temporal consistency).  Bit-identical to
+    the PIL path unless ``fast`` (DCT-scaled decode, Image.draft-style
+    approximation).  Returns [T, out_h, out_w, 3] uint8, or None on any
+    failure (caller falls back to the PIL path with the same
+    already-drawn parameters)."""
+    lib = _load_frames()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.empty((n, out_h, out_w, 3), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    rw, rh = resize if resize else (0, 0)
+    cl, ct, cw, ch = crop if crop else (0, 0, 0, 0)
+    fw, fh = final if final else (0, 0)
+    nt = _FRAME_THREADS if n_threads is None else n_threads
+    rc = lib.frame_pipeline_batch(
+        arr, n, rw, rh, cl, ct, cw, ch, fw, fh, int(hflip),
+        1 if filt == "bicubic" else 0, int(fast), out_h, out_w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nt)
+    return out if rc == 0 else None
 
 
 def _fptr(a: np.ndarray):

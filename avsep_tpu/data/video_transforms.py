@@ -19,16 +19,21 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
+def resize_shorter_dims(w: int, h: int, size: int):
+    """Target dims for shorter-side-to-``size`` resize.  Shared by the PIL
+    path below and the native decode path (dataset._native_frames) so both
+    produce identical geometry."""
+    if w < h:
+        return size, int(round(size * h / w))
+    return int(round(size * w / h)), size
+
+
 def resize_shorter(frames: List[Image.Image], size: int) -> List[Image.Image]:
     """Resize shorter side to ``size`` (bicubic), like torchvision Resize
     with an int argument (reference base.py:100,104)."""
     out = []
     for img in frames:
-        w, h = img.size
-        if w < h:
-            nw, nh = size, int(round(size * h / w))
-        else:
-            nw, nh = int(round(size * w / h)), size
+        nw, nh = resize_shorter_dims(*img.size, size)
         out.append(img.resize((nw, nh), Image.BICUBIC))
     return out
 
@@ -72,14 +77,13 @@ def random_crop(frames: List[Image.Image], size: int,
     return [img.crop((left, top, left + size, top + size)) for img in frames]
 
 
-def random_resized_crop(frames: List[Image.Image], size: int,
-                        rng: random.Random,
-                        scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)
-                        ) -> List[Image.Image]:
-    """torchvision/mmaction-style RandomResizedCrop with one draw for the
-    whole clip (used by the clip pipeline, reference dataset/music.py:181)."""
+def rrc_params(w: int, h: int, rng: random.Random,
+               scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
+    """RandomResizedCrop parameter draw (one draw per clip).  Returns
+    (left, top, cw, ch) or None for the 10-attempt fallback (center crop
+    of min(w, h)).  Split out so the native decode path consumes the SAME
+    rng sequence as the PIL path."""
     import math
-    w, h = frames[0].size
     area = w * h
     for _ in range(10):
         target = rng.uniform(*scale) * area
@@ -90,11 +94,29 @@ def random_resized_crop(frames: List[Image.Image], size: int,
         if 0 < cw <= w and 0 < ch <= h:
             left = rng.randint(0, w - cw)
             top = rng.randint(0, h - ch)
-            return [img.crop((left, top, left + cw, top + ch))
-                    .resize((size, size), Image.BICUBIC) for img in frames]
-    # fallback: center crop
-    return [img.resize((size, size), Image.BICUBIC)
-            for img in center_crop(frames, min(w, h))]
+            return left, top, cw, ch
+    return None
+
+
+def center_crop_box(w: int, h: int, size: int):
+    """(left, top) of a PIL-convention center crop (see center_crop)."""
+    return int(round((w - size) / 2.0)), int(round((h - size) / 2.0))
+
+
+def random_resized_crop(frames: List[Image.Image], size: int,
+                        rng: random.Random,
+                        scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)
+                        ) -> List[Image.Image]:
+    """torchvision/mmaction-style RandomResizedCrop with one draw for the
+    whole clip (used by the clip pipeline, reference dataset/music.py:181)."""
+    w, h = frames[0].size
+    p = rrc_params(w, h, rng, scale, ratio)
+    if p is None:  # fallback: center crop
+        return [img.resize((size, size), Image.BICUBIC)
+                for img in center_crop(frames, min(w, h))]
+    left, top, cw, ch = p
+    return [img.crop((left, top, left + cw, top + ch))
+            .resize((size, size), Image.BICUBIC) for img in frames]
 
 
 def random_hflip(frames: List[Image.Image],
