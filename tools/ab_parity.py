@@ -129,8 +129,21 @@ def main():
                          "tie flips dominate the (artifact-only) SAR; "
                          "trained masks are saturated, so this makes the "
                          "A/B representative. 1.0 disables.")
+    ap.add_argument("--weights_sound", default="",
+                    help=".pth state_dict for the torch U-Net (e.g. from "
+                         "tools/train_reference_torch.py or "
+                         "tools/export_reference_ckpt.py). With trained "
+                         "weights --logit_scale is forced to 1.")
+    ap.add_argument("--weights_frame", default="",
+                    help=".pth for the frame net: TResNet18 keys plus "
+                         "fc.weight/fc.bias (the 512->vis_channels conv)")
+    ap.add_argument("--label", default="",
+                    help="one-line provenance note for the PARITY.md row "
+                         "(e.g. 'torch-trained 250 iters')")
     ap.add_argument("--out", default=os.path.join(REPO, "PARITY.md"))
     args = ap.parse_args()
+    if args.weights_sound or args.weights_frame:
+        args.logit_scale = 1.0  # trained logits are already saturated
 
     import torch
     import jax
@@ -160,13 +173,23 @@ def main():
     torch.manual_seed(0)
     tunet = audio_net.Unet(fc_dim=cfg.num_channels, num_downs=7,
                            fusion_type="hidsep", att_type="sig").eval()
-    with torch.no_grad():  # saturate masks (see --logit_scale help)
-        out_conv = tunet.unet_block.up_forward[2]
-        out_conv.weight *= args.logit_scale
-        if out_conv.bias is not None:
-            out_conv.bias *= args.logit_scale
     ttrunk = TResNet18().eval()
     tfc = torch.nn.Conv2d(512, cfg.vis_channels, 3, padding=1)
+    if args.weights_sound:
+        tunet.load_state_dict(torch.load(args.weights_sound,
+                                         map_location="cpu"))
+    else:
+        with torch.no_grad():  # saturate masks (see --logit_scale help)
+            out_conv = tunet.unet_block.up_forward[2]
+            out_conv.weight *= args.logit_scale
+            if out_conv.bias is not None:
+                out_conv.bias *= args.logit_scale
+    if args.weights_frame:
+        fsd = torch.load(args.weights_frame, map_location="cpu")
+        with torch.no_grad():
+            tfc.weight.copy_(fsd.pop("fc.weight"))
+            tfc.bias.copy_(fsd.pop("fc.bias"))
+        ttrunk.load_state_dict(fsd)
 
     sound_p, sound_s = unet_from_torch(tunet.state_dict(), num_downs=7)
     sd = dict(ttrunk.state_dict())
@@ -219,23 +242,34 @@ def main():
         n_done += bs
         print(f"{n_done}/{len(ds)} samples")
 
+    if args.weights_sound or args.weights_frame:
+        prov = (f"**TRAINED weights** ({args.label or 'torch-trained'}): "
+                f"`{args.weights_sound or '(random unet)'}` + "
+                f"`{args.weights_frame or '(random frame net)'}` loaded "
+                "into the torch modules AND imported into avsep_tpu")
+        scale_note = ("Trained logits are already saturated; no logit "
+                      "scaling applied.")
+    else:
+        prov = ("Same randomly-initialized reference weights (torch Unet7 "
+                "+ CoLoc(sig) + ResNet18 golden, `torch.manual_seed(0)`) "
+                "imported into avsep_tpu")
+        scale_note = (
+            f"U-Net output logits scaled x{args.logit_scale:g} to saturate "
+            "the sigmoid masks like a trained checkpoint's: random-init "
+            "logits cluster at 0, putting every mask bin on the 0.5 "
+            "binarization boundary where float-noise tie flips dominate "
+            "the artifact-only SAR (measured: 2.88 dB SAR delta at scale "
+            "1, 0.18 at 8, <0.001 at 16; SDR/SIR/SI-SDR stay <0.06 dB at "
+            "every scale).")
     lines = ["# PARITY — trained-weights A/B eval",
              "",
-             "Same randomly-initialized reference weights (torch Unet7 + "
-             "CoLoc(sig) + ResNet18 golden, `torch.manual_seed(0)`) imported "
-             "into avsep_tpu; full eval protocol (reference main.py:421-503) "
+             prov + "; full eval protocol (reference main.py:421-503) "
              f"over `{args.list_val}` x val_repeat={args.val_repeat}, "
              f"batch {args.batch}, {n_done} samples.  Reference metrics via "
              "the independent numpy mir_eval-algorithm oracle "
              "(tests/test_metrics.py; mir_eval/asteroid not installed).",
              "",
-             f"U-Net output logits scaled x{args.logit_scale:g} to saturate "
-             "the sigmoid masks like a trained checkpoint's: random-init "
-             "logits cluster at 0, putting every mask bin on the 0.5 "
-             "binarization boundary where float-noise tie flips dominate "
-             "the artifact-only SAR (measured: 2.88 dB SAR delta at scale "
-             "1, 0.18 at 8, <0.001 at 16; SDR/SIR/SI-SDR stay <0.06 dB at "
-             "every scale).",
+             scale_note,
              "",
              "Three columns: ours (our pipeline + our jax metric stack), "
              "reference (torch pipeline + numpy oracle), and cross (torch "

@@ -114,6 +114,11 @@ def run_probe(cfg, tokens_json: str, tag: str = "best"):
     rng = jax.random.PRNGKey(cfg.seed)
     perm_hits, perm_total = 0, 0
     point_hits, mass_hits, point_total = 0, 0, 0
+    # WHERE the mass sits (VERDICT r3 #8): 4x4 confusion of argmax-mass
+    # quadrant vs token quadrant, and the mean normalized mass on the
+    # token quadrant (0.25 = uniform attention; 1.0 = all mass on token)
+    mass_conf = np.zeros((4, 4), np.int64)
+    mass_on_token = []
     for batch in loader:
         dev = {k: jnp.asarray(v) for k, v in batch.items()
                if isinstance(v, np.ndarray) and v.dtype != object}
@@ -125,14 +130,19 @@ def run_probe(cfg, tokens_json: str, tag: str = "best"):
         if tokens:
             quad = quadrant_of(ay, ax, h, w)             # [B, C]
             mass_quad = np.argmax(quads, axis=-1)        # [B, C]
+            qsum = quads.sum(-1, keepdims=True)          # [B, C, 1]
+            qnorm = quads / np.maximum(qsum, 1e-12)
             for b in range(len(batch["id"])):
                 for n, info in enumerate(batch["infos"][b]):
                     meta = tokens.get(os.path.abspath(info[1]))
                     if meta is None or not isinstance(
                             meta.get("quadrant"), int):
                         continue
-                    point_hits += int(quad[b, n] == meta["quadrant"])
-                    mass_hits += int(mass_quad[b, n] == meta["quadrant"])
+                    tq = meta["quadrant"]
+                    point_hits += int(quad[b, n] == tq)
+                    mass_hits += int(mass_quad[b, n] == tq)
+                    mass_conf[tq, mass_quad[b, n]] += 1
+                    mass_on_token.append(float(qnorm[b, n, tq]))
                     point_total += 1
 
     # separation quality of both branches via the standard eval harness
@@ -154,6 +164,14 @@ def run_probe(cfg, tokens_json: str, tag: str = "best"):
         "ao_si_sdr": history["val_ao"]["si_sdr"][-1],
         "ao_sdr": history["val_ao"]["sdr"][-1],
     }
+    if mass_on_token:
+        # rows = token quadrant, cols = argmax-mass quadrant: a diagonal
+        # matrix = localization; one hot COLUMN regardless of row = the
+        # attention parked on a fixed region (background shortcut); flat
+        # rows = no spatial preference at all
+        report["mass_confusion"] = mass_conf.tolist()
+        report["mean_mass_on_token"] = float(np.mean(mass_on_token))
+        report["mass_on_token_uniform"] = 0.25
     out_path = os.path.join(ckpt_dir, "av_probe.json")
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
