@@ -56,6 +56,9 @@ args=(
   --start_av_first --num_fsteps 0 --iter_per_av 2
   --eval_iter 750 --disp_iter 50 --num_vis 0
 )
+# EXTRA_ARGS: append e.g. "--dtype bfloat16 --dft matmul" (the validated
+# fast training config, BENCH_NOTES) without editing the recipe
+[ -n "${EXTRA_ARGS:-}" ] && args+=(${EXTRA_ARGS})
 
 python -u -m avsep_tpu.main --mode train "${args[@]}"
 
