@@ -101,3 +101,29 @@ def test_bf16_train_step_learns():
         p0, jax.device_get(state.params))
     assert max(jax.tree_util.tree_leaves(moved)) > 0.0
     assert errs[-1] < errs[0], errs
+
+
+def test_bf16_saturated_logits_keep_finite_grads():
+    """Regression: bf16 sigmoid saturates to exactly 1.0 at logits ~6
+    (2^-8 resolution near 1), which made the BCE input clip a no-op and
+    the log(1-p) VJP inf*0=NaN — observed as a NaN blow-up between iters
+    50-100 of the bf16 AVPROOF run.  `activate` now upcasts logits to
+    f32 (the mixed-precision boundary), so a bf16 network emitting
+    saturated logits must yield finite loss AND finite gradients."""
+    from avsep_tpu.models import criterion as crit
+    from avsep_tpu.models.builder import activate
+
+    logits = jnp.asarray(
+        np.array([[-40.0, -8.0, 0.0, 8.0, 40.0]], np.float32),
+        jnp.bfloat16)
+    gt = jnp.asarray(np.array([[1.0, 0.0, 1.0, 0.0, 1.0]], np.float32))
+    w = jnp.ones_like(gt)
+
+    def loss(lg):
+        pred = activate(lg, "sigmoid")
+        assert pred.dtype == jnp.float32  # upcast happened
+        return crit.weighted_loss(pred, gt, w, kind="bce")
+
+    val, grad = jax.value_and_grad(loss)(logits)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(grad, np.float32)).all()
