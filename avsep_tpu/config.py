@@ -164,15 +164,11 @@ class Config:
     #                ~f32-accurate (>120 dB vs fft), fewer MXU passes.
     #   matmul_fast  same einsum at 1-pass bf16.
     dft: str = "fft"
-    # Fuse the AV symmetric double pass (reference main.py:129+141 runs the
-    # full U-Net twice on the same audio) into ONE doubled-batch forward.
-    # EXACT in eval mode (running-average BN); in train mode the decoder
-    # BatchNorms see combined 2B statistics instead of per-pass B
-    # statistics, so training dynamics differ slightly.  Measured NO gain
-    # on v5e (train step: 33.2->33.5 steps/s at B=8, 113->117 ms at B=32 —
-    # XLA already overlaps the two passes); kept as an opt-in only for
-    # workloads where launch count dominates.  Off by default for parity.
-    fused_av: bool = False
+    # (removed) fused_av: the doubled-batch AV pass was measured to save
+    # nothing on v5e in two rounds (33.2->33.5 steps/s at B=8, 113->117 ms
+    # at B=32 — XLA already overlaps the symmetric passes) and was inexact
+    # in train mode (decoder BN over 2B stats).  Deleted per VERDICT r3
+    # weak #6; BENCH_NOTES.md keeps the measurements.
     # inference demo selector (python -m avsep_tpu.inference):
     #   vis       attention-overlay video on one duet clip (default)
     #   share     blank-frame 'share' ablation (reference inference.py:88-107)

@@ -277,11 +277,6 @@ def forward_av(nets: Nets, params, batch_stats, batch, cfg: Config,
     sound_vars = {"params": params["sound"],
                   "batch_stats": batch_stats["sound"]}
 
-    if cfg.fused_av:
-        return _forward_av_fused(nets, params, batch_stats, prep, feats,
-                                 fstats, sound_vars, cfg, rng, train,
-                                 vkey=vkey)
-
     def one_pass(vis_list, gt, svars, pass_rng):
         v = jnp.stack(vis_list)  # [C, B, h, w, Dv]
         pred, meta, upd = _sound_forward(nets, svars, prep.log_mag_mix, v,
@@ -317,61 +312,6 @@ def forward_av(nets: Nets, params, batch_stats, batch, cfg: Config,
                "gt_masks": prep.gt_masks, "mag_mix": prep.mag_mix,
                "mags": prep.mags, "weight": prep.weights,
                "match_loss": match_loss, "att_maps": meta0.att_maps,
-               "err_ps": err_ps, "match_ps": match_ps}
-    return err, (new_stats, outputs)
-
-
-def _forward_av_fused(nets: Nets, params, batch_stats, prep, feats, fstats,
-                      sound_vars, cfg: Config, rng, train: bool,
-                      vkey: str = "frame"):
-    """The symmetric double pass as ONE doubled-batch U-Net forward.
-
-    The reference runs the full U-Net twice on the same log-magnitude with
-    the visual order reversed then forward (main.py:129,141).  Stacking the
-    two passes on the batch axis gives identical per-sample outputs in
-    EVAL mode (running-average BN).  In TRAIN mode it is NOT exact: past
-    the fusion point the two halves carry different visual features, so
-    decoder BatchNorms see combined 2B statistics instead of the
-    reference's per-pass B statistics (see the ``fused_av`` comment in
-    config.py).  Measured to save nothing on v5e (BENCH_NOTES.md) — XLA
-    already overlaps the two passes.
-
-    match loss: the fusion's score mean over 2B equals (match1+match2)/2;
-    the reference sums the two per-pass means, so we scale by 2.
-    """
-    N = cfg.num_mix
-    B = prep.log_mag_mix.shape[0]
-    x2 = jnp.concatenate([prep.log_mag_mix, prep.log_mag_mix], axis=0)
-    # [C, 2B, h, w, Dv]: first half visual-reversed, second half forward
-    v2 = jnp.stack([jnp.concatenate([feats[1], feats[0]], axis=0),
-                    jnp.concatenate([feats[0], feats[1]], axis=0)])
-
-    pred2, meta, upd = _sound_forward(nets, sound_vars, x2, v2, cfg, train,
-                                      rng=rng)
-    gt2 = jnp.concatenate([prep.gt_masks[:, ::-1], prep.gt_masks], axis=0)
-    w2 = jnp.concatenate([prep.weights, prep.weights], axis=0)
-    preds2 = jnp.stack([activate(pred2[..., n], cfg.output_activation)
-                        for n in range(N)])              # [N, 2B, F, T]
-    err_both_ps = crit.multi_source_loss(preds2, jnp.moveaxis(gt2, 1, 0),
-                                         w2, kind=cfg.loss, per_sample=True)
-    err_both = jnp.mean(err_both_ps)
-    # mean over the doubled batch == (err1 + err0) / 2 exactly
-    match_loss = meta.match_loss * 2.0                   # sum of two means
-    match_ps = meta.match_ps[:B] + meta.match_ps[B:]
-    err = err_both + cfg.match_weight * match_loss
-    err_ps = ((err_both_ps[:B] + err_both_ps[B:]) / 2.0
-              + cfg.match_weight * match_ps)
-
-    new_stats = dict(batch_stats)
-    if upd is not None:
-        new_stats["sound"] = upd["batch_stats"]
-        new_stats[vkey] = fstats["batch_stats"]
-    preds0 = jnp.moveaxis(preds2[:, B:], 0, 1)           # forward-order pass
-    outputs = {"pred_masks": preds0, "gt_masks": prep.gt_masks,
-               "mag_mix": prep.mag_mix, "mags": prep.mags,
-               "weight": prep.weights, "match_loss": match_loss,
-               "att_maps": (None if meta.att_maps is None
-                            else meta.att_maps[B:]),
                "err_ps": err_ps, "match_ps": match_ps}
     return err, (new_stats, outputs)
 

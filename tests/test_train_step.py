@@ -204,29 +204,6 @@ def test_mixvis_and_sel_train_steps():
         assert np.isfinite(float(m["match_loss"])), fusion
 
 
-def test_fused_av_matches_double_pass_in_eval(setup):
-    """cfg.fused_av: one doubled-batch forward equals the reference's two
-    passes exactly in eval mode (running-average BN)."""
-    cfg, nets, state = setup
-    batch = tiny_batch(cfg, B=4)
-    err_a, (_, out_a) = forward(nets, state.params, state.batch_stats,
-                                batch, cfg, None, use_vis=True, train=False)
-    cfg_f = cfg.replace(fused_av=True)
-    err_b, (_, out_b) = forward(nets, state.params, state.batch_stats,
-                                batch, cfg_f, None, use_vis=True,
-                                train=False)
-    np.testing.assert_allclose(float(err_a), float(err_b), rtol=1e-5)
-    np.testing.assert_allclose(float(out_a["match_loss"]),
-                               float(out_b["match_loss"]), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(out_a["pred_masks"]),
-                               np.asarray(out_b["pred_masks"]),
-                               rtol=1e-5, atol=1e-6)
-    # train mode still runs and is finite (BN stats differ by design)
-    err_t, _ = forward(nets, state.params, state.batch_stats, batch, cfg_f,
-                       jax.random.PRNGKey(0), use_vis=True, train=True)
-    assert np.isfinite(float(err_t))
-
-
 def test_per_sample_losses_mean_to_scalar(setup):
     """outputs['err_ps']/['match_ps'] are per-sample losses whose mean is
     exactly the scalar loss — the contract evaluate() relies on to exclude
@@ -245,14 +222,6 @@ def test_per_sample_losses_mean_to_scalar(setup):
             np.testing.assert_allclose(float(out["match_loss"]),
                                        float(jnp.mean(out["match_ps"])),
                                        rtol=1e-5)
-    # fused_av path keeps the same contract
-    cfg_f = cfg.replace(fused_av=True)
-    err, (_, out) = forward(nets, state.params, state.batch_stats, batch,
-                            cfg_f, None, use_vis=True, train=False)
-    np.testing.assert_allclose(float(err), float(jnp.mean(out["err_ps"])),
-                               rtol=1e-5)
-
-
 def test_mixvis_per_sample_loss_contract():
     """MixVis path: err_ps/match_ps mean to the scalars too."""
     cfg = tiny_cfg(fusion_type="MixVis")
