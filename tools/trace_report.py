@@ -102,7 +102,8 @@ def _fusion_kinds_from_hlo(hlo_text: str):
     return fusion_kinds
 
 
-def main(batch: int = 32, n_steps: int = 8, top_k: int = 12):
+def main(batch: int = 32, n_steps: int = 8, top_k: int = 12,
+         dtype: str = "float32", dft: str = "fft"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -117,6 +118,7 @@ def main(batch: int = 32, n_steps: int = 8, top_k: int = 12):
     from avsep_tpu.train import init_state, make_optimizer
 
     cfg = Config(arch_sound="unet7", num_channels=2, vis_channels=256,
+                 dtype=dtype, dft=dft,
                  fusion_type="hidsep", att_type="sig", not_pool_vis=False,
                  img_activation="relu", output_activation="sigmoid",
                  binary_mask=1, weighted_loss=1, log_freq=1, loss="bce",
@@ -195,6 +197,7 @@ def main(batch: int = 32, n_steps: int = 8, top_k: int = 12):
 
     report = {
         "batch": batch, "n_steps": n_steps,
+        "dtype": dtype, "dft": dft,
         "wall_ms_per_step": wall / n_steps * 1e3,
         "device_busy_ms_per_step": total_us / n_steps / 1e3,
         "device_busy_frac_of_wall": (total_us / 1e6) / wall,
@@ -221,8 +224,9 @@ def main(batch: int = 32, n_steps: int = 8, top_k: int = 12):
         print(f"  {row['pct']:5.1f}%  {row['ms_per_step']:7.3f} ms  "
               f"{row['op']}{inside}")
 
+    tag = "" if (dtype, dft) == ("float32", "fft") else f"_{dtype}_{dft}"
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "TRACE_REPORT.json")
+        os.path.abspath(__file__))), f"TRACE_REPORT{tag}.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
     print(f"report written to {out}")
@@ -231,4 +235,6 @@ def main(batch: int = 32, n_steps: int = 8, top_k: int = 12):
 if __name__ == "__main__":
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    main(b, n)
+    dt = sys.argv[3] if len(sys.argv) > 3 else "float32"
+    df = sys.argv[4] if len(sys.argv) > 4 else "fft"
+    main(b, n, dtype=dt, dft=df)
