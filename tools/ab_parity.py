@@ -186,6 +186,25 @@ def main():
                 out_conv.bias *= args.logit_scale
     if args.weights_frame:
         fsd = torch.load(args.weights_frame, map_location="cpu")
+        if any(k.startswith("features.") for k in fsd):
+            # reference vision_net layout (export_reference_ckpt.py
+            # writes it): features.0=conv1, features.1=bn1,
+            # features.4..7=layer1..4 (torchvision children[:-2] in an
+            # nn.Sequential, reference vision_net.py) -> bare torchvision
+            # names for the TResNet18 golden
+            remap = {}
+            for k, v in fsd.items():
+                parts = k.split(".")
+                if parts[0] != "features":
+                    remap[k] = v
+                elif parts[1] == "0":
+                    remap["conv1." + ".".join(parts[2:])] = v
+                elif parts[1] == "1":
+                    remap["bn1." + ".".join(parts[2:])] = v
+                elif parts[1] in ("4", "5", "6", "7"):
+                    remap[f"layer{int(parts[1]) - 3}."
+                          + ".".join(parts[2:])] = v
+            fsd = remap
         with torch.no_grad():
             tfc.weight.copy_(fsd.pop("fc.weight"))
             tfc.bias.copy_(fsd.pop("fc.bias"))
