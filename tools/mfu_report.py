@@ -54,7 +54,8 @@ def _timed(fn, *args, reps: int = 2) -> float:
     return best
 
 
-def main(batch: int = 32, n_steps: int = 16, dft: str = "fft"):
+def main(batch: int = 32, n_steps: int = 16, dft: str = "fft",
+         dtype: str = "float32"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -74,7 +75,7 @@ def main(batch: int = 32, n_steps: int = 16, dft: str = "fft"):
                  fusion_type="hidsep", att_type="sig", not_pool_vis=False,
                  img_activation="relu", output_activation="sigmoid",
                  binary_mask=1, weighted_loss=1, log_freq=1, loss="bce",
-                 one_frame=True, match_weight=0.1, dft=dft)
+                 one_frame=True, match_weight=0.1, dft=dft, dtype=dtype)
     nets = build_nets(cfg)
     state = init_state(cfg, nets, jax.random.PRNGKey(0))
     opt = make_optimizer(cfg, state.params)
@@ -156,6 +157,7 @@ def main(batch: int = 32, n_steps: int = 16, dft: str = "fft"):
         return jnp.sum(errs)
 
     report = {"batch": batch, "n_steps": n_steps, "dft": dft,
+              "dtype": dtype,
               "device": str(dev), "peak_bf16_flops": V5E_PEAK_BF16}
 
     # FLOPs of single-step programs (cost analysis on the unscanned step —
@@ -228,7 +230,8 @@ def main(batch: int = 32, n_steps: int = 16, dft: str = "fft"):
     report["train_step_breakdown_pct"] = {
         k: 100.0 * v / total for k, v in breakdown.items()}
 
-    print("\n== MFU (vs v5e bf16 peak 197 TFLOP/s; pipeline computes f32) ==")
+    print(f"\n== MFU (vs v5e bf16 peak 197 TFLOP/s; "
+          f"pipeline computes {dtype}) ==")
     for k, v in report["mfu_vs_bf16_peak"].items():
         print(f"  {k:16s} {report['flops'][k] / 1e12:8.3f} TFLOP/step  "
               f"{report['ms_per_step'][k]:7.2f} ms  MFU {v * 100:5.1f}%")
@@ -236,8 +239,9 @@ def main(batch: int = 32, n_steps: int = 16, dft: str = "fft"):
     for k, v in report["train_step_breakdown_pct"].items():
         print(f"  {k:32s} {v:5.1f}%")
 
-    fname = ("MFU_REPORT.json" if dft == "fft"
-             else f"MFU_REPORT_{dft}.json")
+    tag = ("" if dft == "fft" else f"_{dft}") + (
+        "" if dtype == "float32" else f"_{dtype}")
+    fname = f"MFU_REPORT{tag}.json"
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), fname)
     with open(out, "w") as f:
@@ -249,4 +253,5 @@ if __name__ == "__main__":
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     df = sys.argv[3] if len(sys.argv) > 3 else "fft"
-    main(b, n, df)
+    dt = sys.argv[4] if len(sys.argv) > 4 else "float32"
+    main(b, n, df, dt)
