@@ -198,6 +198,10 @@ class MusicMixDataset:
             raise RuntimeError(
                 f"--frame_decode {fd} requested but libavsep_frames.so "
                 "is unavailable (libjpeg or a C++ compiler is missing)")
+        if ok and fd == "auto":
+            # auto promises PIL bit-identity; verify it once against the
+            # actual host libjpeg before trusting the fast path
+            ok = native.frames_selfcheck_ok()
         return ok
 
     @property

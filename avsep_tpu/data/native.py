@@ -26,6 +26,20 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 _flib: Optional[ctypes.CDLL] = None
 _ftried = False
+_fselfcheck: Optional[bool] = None
+
+
+def _needs_build(so_path: str) -> bool:
+    """True when the .so is missing OR older than any native source —
+    a prebuilt binary must never shadow an edited .cpp (ADVICE r4)."""
+    if not os.path.exists(so_path):
+        return True
+    so_mtime = os.path.getmtime(so_path)
+    for name in os.listdir(_NATIVE_DIR):
+        if name.endswith((".cpp", ".h")) or name == "Makefile":
+            if os.path.getmtime(os.path.join(_NATIVE_DIR, name)) > so_mtime:
+                return True
+    return False
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -35,7 +49,7 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         _tried = True
         try:
-            if not os.path.exists(_LIB_PATH):
+            if _needs_build(_LIB_PATH):
                 subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                                capture_output=True, timeout=120)
             lib = ctypes.CDLL(_LIB_PATH)
@@ -88,7 +102,7 @@ def _load_frames() -> Optional[ctypes.CDLL]:
             return _flib
         _ftried = True
         try:
-            if not os.path.exists(_FRAMES_LIB_PATH):
+            if _needs_build(_FRAMES_LIB_PATH):
                 subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                                capture_output=True, timeout=120)
             lib = ctypes.CDLL(_FRAMES_LIB_PATH)
@@ -126,6 +140,55 @@ def _load_frames() -> Optional[ctypes.CDLL]:
 
 def frames_available() -> bool:
     return _load_frames() is not None
+
+
+def frames_selfcheck_ok() -> bool:
+    """One-shot decode+resample bit-identity check vs Pillow.
+
+    The .so links the HOST libjpeg, which may differ from Pillow's
+    vendored libjpeg-turbo — on such a host the 'bit-identical to PIL'
+    guarantee of ``--frame_decode auto`` would silently be void (ADVICE
+    r4).  Before auto mode enables the native path, round-trip one
+    synthetic JPEG through both decoders (+ the fused bicubic resample)
+    and require exact equality; cached after the first call."""
+    global _fselfcheck
+    if _fselfcheck is not None:
+        return _fselfcheck
+    if _load_frames() is None:
+        _fselfcheck = False
+        return False
+    try:
+        import io
+        import tempfile
+
+        from PIL import Image
+
+        rs = np.random.RandomState(0)
+        img = Image.fromarray(rs.randint(0, 256, (48, 64, 3), np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG", quality=90)
+        with tempfile.NamedTemporaryFile(suffix=".jpg") as f:
+            f.write(buf.getvalue())
+            f.flush()
+            want = np.asarray(Image.open(f.name).convert("RGB"))
+            got = frame_pipeline_batch([f.name], 48, 64, n_threads=1)
+            ok = got is not None and np.array_equal(got[0], want)
+            if ok:
+                want_r = np.asarray(
+                    Image.open(f.name).convert("RGB").resize(
+                        (32, 24), Image.BICUBIC))
+                got_r = frame_pipeline_batch([f.name], 24, 32,
+                                             resize=(32, 24), n_threads=1)
+                ok = got_r is not None and np.array_equal(got_r[0], want_r)
+        if not ok:
+            print("[avsep_tpu.native] frame decode self-check vs PIL "
+                  "FAILED (host libjpeg differs?) — auto mode stays on PIL")
+        _fselfcheck = bool(ok)
+    except Exception as e:
+        print(f"[avsep_tpu.native] frame decode self-check errored ({e}) "
+              "— auto mode stays on PIL")
+        _fselfcheck = False
+    return _fselfcheck
 
 
 def jpeg_probe_dims(path: str) -> Optional[Tuple[int, int]]:

@@ -172,7 +172,7 @@ def _frame_features(nets: Nets, variables, frames_n, cfg: Config,
         feats, updates = _maybe_remat(fwd, cfg)(variables, frames_n)
     else:
         feats, updates = nets.frame.apply(variables, frames_n, **kw), None
-    return activate(feats, cfg.img_activation), updates
+    return activate(feats, cfg.img_activation, upcast=False), updates
 
 
 def _motion_features(nets: Nets, variables, clips_n, cfg: Config,
@@ -199,7 +199,7 @@ def _motion_features(nets: Nets, variables, clips_n, cfg: Config,
         feats, updates = nets.motion.apply(variables, clips_n,
                                            train=False), None
     feats = jnp.mean(feats, axis=1)  # [B, T, h, w, C] -> [B, h, w, C]
-    return activate(feats, cfg.img_activation), updates
+    return activate(feats, cfg.img_activation, upcast=False), updates
 
 
 def _sound_forward(nets: Nets, variables, log_mag, v, cfg: Config,

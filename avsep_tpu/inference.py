@@ -289,7 +289,7 @@ def pixelwise_demo(cfg: Config, duet_info, save_folder: str) -> None:
         fmap = nets.frame.apply(
             {"params": params["frame"], "batch_stats": stats["frame"]},
             f, pool=False, train=False)                      # [1,HI,WI,C]
-        fmap = activate(fmap, cfg.img_activation)
+        fmap = activate(fmap, cfg.img_activation, upcast=False)
         pix = nets.synthesizer.apply(
             {"params": params["synthesizer"]}, fmap, basis,
             method="forward_pixelwise")       # [1, HI, WI, FO, T]

@@ -20,19 +20,27 @@ from avsep_tpu.models.synthesizer import Bias, InnerProd
 from avsep_tpu.models.unet import AudioUnet
 
 
-def activate(x: jnp.ndarray, activation: str) -> jnp.ndarray:
+def activate(x: jnp.ndarray, activation: str,
+             upcast: bool = True) -> jnp.ndarray:
     """Activation dispatcher (reference models/__init__.py:16-28).
 
-    Upcasts to f32 first: this is the mixed-precision boundary.  Under
-    ``--dtype bfloat16`` the U-Net runs in bf16, but bf16 sigmoid
+    ``upcast=True`` (the default, used at every output/loss-side call
+    site) casts to f32 first: this is the mixed-precision boundary.
+    Under ``--dtype bfloat16`` the U-Net runs in bf16, but bf16 sigmoid
     saturates to exactly 1.0 at logits ~6 (2^-8 resolution near 1), so
     the BCE input clip at 1-1e-7 becomes a no-op and the log1p VJP
     returns inf*0=NaN — measured as a NaN blow-up between iters 50-100
     of the bf16 AVPROOF run.  Casting the logits up keeps every
     loss/mask/metric consumer in f32 while the conv stack stays bf16;
     a no-op for f32 runs (parity envelope unchanged).
+
+    Feature-path call sites (the relu on visual/motion features, the SoP
+    basis activation) pass ``upcast=False``: those tensors feed straight
+    back into bf16 layers, so an f32 island there only adds HBM traffic
+    and convert ops without touching the NaN boundary (ADVICE r4).
     """
-    x = x.astype(jnp.float32)
+    if upcast:
+        x = x.astype(jnp.float32)
     if activation == "sigmoid":
         return jax.nn.sigmoid(x)
     if activation == "softmax":

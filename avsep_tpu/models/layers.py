@@ -123,16 +123,18 @@ def upsample2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
     B, H, W, C = x.shape
     Wh = jnp.asarray(_up_matrix(H, 2 * H))
     Ww = jnp.asarray(_up_matrix(W, 2 * W))
-    # f32 path: f32 accumulation end-to-end (bit-parity with torch).
+    # f32 path: f32 accumulation end-to-end, H-pass then W-pass — the
+    # exact order the torch align_corners parity goldens were pinned on
+    # (dtype is the ONLY thing that varies below).
     # bf16 path: keep the [B,2H,W,C] intermediate in bf16 — the MXU still
     # accumulates the 2-tap interpolation in f32 internally, and an f32
     # intermediate would double the HBM traffic of the decoder's largest
     # tensors for no parity benefit (the rest of the bf16 pipeline rounds
     # identically).
     acc = jnp.float32 if x.dtype == jnp.float32 else x.dtype
-    y = jnp.einsum("pw,bhwc->bhpc", Ww.astype(acc), x,
-                   preferred_element_type=acc)
-    return jnp.einsum("oh,bhwc->bowc", Wh.astype(acc), y,
+    y = jnp.einsum("oh,bhwc->bowc", Wh.astype(acc), x,
+                   preferred_element_type=acc)           # [B, 2H, W, C]
+    return jnp.einsum("pw,bhwc->bhpc", Ww.astype(acc), y,
                       preferred_element_type=acc).astype(x.dtype)
 
 

@@ -57,7 +57,7 @@ def _apply_frame(nets: SopNets, params, stats, frames_n, cfg: Config,
                                     mutable=["batch_stats"], **kw)
     else:
         out, upd = nets.frame.apply(variables, frames_n, **kw), None
-    out = activate(out, cfg.img_activation)
+    out = activate(out, cfg.img_activation, upcast=False)
     if stop_grad:
         out = jax.lax.stop_gradient(out)
     return out, upd
@@ -72,7 +72,7 @@ def _apply_sound(nets: SopNets, params, stats, log_mag, cfg: Config,
                                             mutable=["batch_stats"])
     else:
         (basis, fw), upd = nets.sound.apply(variables, x, train=False), None
-    basis = activate(basis, cfg.sound_activation)
+    basis = activate(basis, cfg.sound_activation, upcast=False)
     return basis, fw, upd
 
 

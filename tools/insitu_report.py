@@ -23,7 +23,7 @@ resnet18dilated, same batch, dtype, dft) so the residual is attributable:
 asks to drive to ~0.  Arm C additionally runs under
 ``jax.profiler.trace`` to report measured device-busy time.
 
-Writes INSITU_r04.json at the repo root.
+Writes INSITU_r05.json at the repo root.
 
 Usage: python tools/insitu_report.py [--batch 32] [--n 16]
            [--dtype bfloat16] [--dft matmul] [--root /tmp/insitu_set]
@@ -219,7 +219,7 @@ def main() -> None:
         "clips_per_s_insitu": args.batch / (c_ms / 1e3),
         "clips_per_s_scan_floor": args.batch / (a_ms / 1e3),
     }
-    out = os.path.join(REPO, "INSITU_r04.json")
+    out = os.path.join(REPO, "INSITU_r05.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
     print(f"report written to {out}")
