@@ -164,6 +164,12 @@ class Config:
     #                ~f32-accurate (>120 dB vs fft), fewer MXU passes.
     #   matmul_fast  same einsum at 1-pass bf16.
     dft: str = "fft"
+    # Attention temperature for the CoLoc/MixVis fusion scores
+    # (models/fusion.py::_attend).  1.0 = the reference's fixed behavior
+    # (fusion_net.py:27-33 has no temperature); <1 sharpens the sig
+    # saturation / scales up cos scores.  Diagnostic knob for the
+    # pointing-game sweep (VERDICT r4 #5).
+    att_temp: float = 1.0
     # (removed) fused_av: the doubled-batch AV pass was measured to save
     # nothing on v5e in two rounds (33.2->33.5 steps/s at B=8, 113->117 ms
     # at B=32 — XLA already overlaps the symmetric passes) and was inexact

@@ -51,7 +51,7 @@ def build_nets(cfg: Config) -> Nets:
     sound = ModelBuilder.build_sound(
         arch=cfg.arch_sound, fc_dim=cfg.num_channels,
         fusion_type=cfg.fusion_type, att_type=cfg.att_type,
-        num_sources=cfg.num_mix, dtype=dtype)
+        num_sources=cfg.num_mix, att_temp=cfg.att_temp, dtype=dtype)
     frame = ModelBuilder.build_frame(
         arch=cfg.arch_frame, fc_dim=cfg.vis_channels,
         pool_type=cfg.img_pool, dtype=dtype)

@@ -65,13 +65,14 @@ class ModelBuilder:
     @staticmethod
     def build_sound(arch: str = "unet5", fc_dim: int = 64,
                     fusion_type: str = "hidsep", att_type: str = "cos",
-                    num_sources: int = 2,
+                    num_sources: int = 2, att_temp: float = 1.0,
                     dtype: Any = jnp.float32) -> AudioUnet:
         if arch not in _UNET_DOWNS:
             raise ValueError("Architecture undefined!")
         return AudioUnet(fc_dim=fc_dim, num_downs=_UNET_DOWNS[arch],
                          fusion_type=fusion_type, att_type=att_type,
-                         num_sources=num_sources, dtype=dtype)
+                         num_sources=num_sources, att_temp=att_temp,
+                         dtype=dtype)
 
     @staticmethod
     def build_frame(arch: str = "resnet18dilated", fc_dim: int = 64,

@@ -44,19 +44,30 @@ class FusionOut(NamedTuple):
     # (mean(match_ps) == match_loss; lets eval exclude padded rows)
 
 
-def _attend(x_pc: jnp.ndarray, v: jnp.ndarray, att_type: str) -> jnp.ndarray:
+def _attend(x_pc: jnp.ndarray, v: jnp.ndarray, att_type: str,
+            att_temp: float = 1.0) -> jnp.ndarray:
     """Attention kernel (reference fusion_net.py:27-33).
 
     x_pc: [B, ..., Dc] audio chunk vectors (any middle dims, e.g. [B,P,C,Dc])
     v:    [B, ..., H, W, Dc] visual maps broadcastable against x_pc's middle
+    att_temp: temperature dividing the attention scores (TPU-native
+      diagnostic knob beyond the reference, which fixes temp=1).  For
+      'sig' it sharpens/softens the sigmoid saturation (temp<1 pushes the
+      map toward a hard 0/1 localization); for 'cos' it rescales the
+      bounded similarity, which rescales the match loss and the
+      attention-pooled guidance magnitude (argmax locations unchanged).
     Returns per-pixel scores [..., H, W].
     """
     xb = x_pc[..., None, None, :]   # broadcast over H, W
     if att_type == "cos":
-        return cosine_similarity(xb, v, axis=-1)
+        sim = cosine_similarity(xb, v, axis=-1)
+        return sim if att_temp == 1.0 else sim / att_temp
     elif att_type == "sig":
         d = x_pc.shape[-1]
-        return jax.nn.sigmoid(jnp.sum(xb * v / jnp.sqrt(float(d)), axis=-1))
+        logits = jnp.sum(xb * v / jnp.sqrt(float(d)), axis=-1)
+        if att_temp != 1.0:
+            logits = logits / att_temp
+        return jax.nn.sigmoid(logits)
     raise ValueError(f"unknown att_type {att_type}")
 
 
@@ -164,7 +175,8 @@ def _duet_vcat(v: jnp.ndarray, axis_h: bool) -> jnp.ndarray:
 
 def coloc(x: jnp.ndarray, v: Optional[jnp.ndarray], *, att_type: str = "cos",
           rng: Optional[jax.Array] = None, option: Optional[str] = None,
-          select: bool = False, n_sources: int = 2) -> FusionOut:
+          select: bool = False, n_sources: int = 2,
+          att_temp: float = 1.0) -> FusionOut:
     """CoLoc / CoLoc_Sel fusion (reference fusion_net.py:20-226).
 
     Args:
@@ -190,7 +202,7 @@ def coloc(x: jnp.ndarray, v: Optional[jnp.ndarray], *, att_type: str = "cos",
     blocks = _pool_chunks(x, C)                     # [B, C, Dc]
     x_t = _perm_stack(blocks)                       # [B, P, C, Dc]
     v_cat = jnp.moveaxis(v, 0, 1)                   # [B, C, H, W, Dc]
-    maps = _attend(x_t, v_cat[:, None], att_type)   # [B, P, C, H, W]
+    maps = _attend(x_t, v_cat[:, None], att_type, att_temp)  # [B,P,C,H,W]
     match_loss, match_ps, _, att = _score_and_sort(maps)
 
     if select:
@@ -213,7 +225,7 @@ def coloc(x: jnp.ndarray, v: Optional[jnp.ndarray], *, att_type: str = "cos",
 def mixvis(x: jnp.ndarray, v: Optional[jnp.ndarray], *,
            att_type: str = "cos", rng: Optional[jax.Array] = None,
            option: Optional[str] = None,
-           n_sources: int = 2) -> FusionOut:
+           n_sources: int = 2, att_temp: float = 1.0) -> FusionOut:
     """MixVis fusion: a single mixture visual map (reference
     fusion_net.py:229-311).  Two-source only (engine guards num_mix);
     ``n_sources`` is accepted for a uniform fusion signature."""
@@ -224,7 +236,7 @@ def mixvis(x: jnp.ndarray, v: Optional[jnp.ndarray], *,
     C = 2
     Dc = D // C
     blocks = _pool_chunks(x, C)                     # [B, C, Dc]
-    maps = _attend(blocks, vm[:, None], att_type)   # [B, C, H, W]
+    maps = _attend(blocks, vm[:, None], att_type, att_temp)  # [B, C, H, W]
 
     H, W = vm.shape[1], vm.shape[2]
     map_size = H * W  # reference fusion_net.py:258-259: per-source flat size

@@ -58,6 +58,7 @@ class AudioUnet(nn.Module):
     use_dropout: bool = False
     fusion_type: str = "hidsep"
     att_type: str = "cos"
+    att_temp: float = 1.0
     # source count for the audio-only fusion branch (the AV branch infers
     # it from v's leading dim; both must chunk the bottleneck identically)
     num_sources: int = 2
@@ -92,7 +93,8 @@ class AudioUnet(nn.Module):
         out: FusionOut = fuse(h.astype(jnp.float32),
                               None if v is None else v.astype(jnp.float32),
                               att_type=self.att_type, rng=fusion_rng,
-                              option=option, n_sources=self.num_sources)
+                              option=option, n_sources=self.num_sources,
+                              att_temp=self.att_temp)
         h = out.features.astype(self.dtype)
 
         # ---- decoder ----
