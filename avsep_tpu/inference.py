@@ -315,6 +315,8 @@ def pixelwise_demo(cfg: Config, duet_info, save_folder: str) -> None:
 
 
 def main(cfg: Config):
+    from avsep_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     if cfg.demo_mode not in ("vis", "share", "sweep", "synthesis",
                              "pixelwise"):
         raise SystemExit(f"unknown --demo_mode {cfg.demo_mode!r} "

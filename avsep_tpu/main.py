@@ -117,6 +117,8 @@ def main(cfg: Config):
     # multi-host (DCN) bring-up must precede the first device query
     from avsep_tpu.parallel.distributed import maybe_initialize
     maybe_initialize(cfg)
+    from avsep_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     print("Model ID: {}".format(cfg.id))
     ckpt_root = os.path.join(cfg.ckpt, cfg.id)

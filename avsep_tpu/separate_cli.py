@@ -59,6 +59,8 @@ def main():
     ap.add_argument("--ckpt", default="")
     ap.add_argument("--id", default="")
     args = ap.parse_args()
+    from avsep_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     cfg = Config(arch_sound="unet7", num_channels=2, vis_channels=256,
                  fusion_type="hidsep", att_type="sig", not_pool_vis=False,

@@ -442,6 +442,8 @@ def main():
 
     from avsep_tpu.engine import build_nets
     from avsep_tpu.train import init_state
+    from avsep_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     ap = argparse.ArgumentParser(
         description="avsep_tpu separation server")

@@ -161,6 +161,8 @@ def main(cfg: Config):
         maybe_initialize, validate_global_batch)
     maybe_initialize(cfg)
     validate_global_batch(cfg)
+    from avsep_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     print("Model ID: {}".format(cfg.id))
     cfg = cfg.replace(ckpt=os.path.join(cfg.ckpt, cfg.id))

@@ -57,3 +57,16 @@ def test_eval_flags():
     cfg = parse_args(["--mode", "eval", "--batch_size_per_gpu", "16"])
     assert cfg.mode == "eval"
     assert cfg.batch_size == 16
+
+
+def test_compile_cache_helper(tmp_path):
+    """enable_compile_cache points JAX at the dir; 'off' and bad paths
+    degrade to no-ops (utils/compile_cache.py)."""
+    import jax
+    from avsep_tpu.utils.compile_cache import enable_compile_cache
+    p = tmp_path / "xla_cache"
+    enable_compile_cache(str(p))
+    assert p.is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(p.resolve())
+    enable_compile_cache("off")   # explicit opt-out: early return, no crash
+    enable_compile_cache("/proc/definitely/not/writable")  # swallowed

@@ -196,6 +196,9 @@ def main():
                          "reference's AO-SI-SDR policy, main.py:524)")
     probe_args, rest = ap.parse_known_args()
     cfg = parse_args(rest)
+    from avsep_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()  # probe re-runs (val_repeat sweeps) skip the
+    # multi-minute tunnel compile of the eval step
     run_probe(cfg, probe_args.tokens_json, tag=probe_args.probe_ckpt)
 
 
