@@ -23,6 +23,9 @@ args=(
   --lr_sound 1e-4 --lr_frame 1e-5 --lr_steps 110000 --num_iters 120001
   --start_av_first --num_fsteps 0 --iter_per_av 2
   --eval_iter 1000 --disp_iter 20 --num_vis 100
+  # TPU-native default: bf16 compute + explicit-DFT STFT (see
+  # train_MUSIC.sh; AVPROOF_r05.json / MFU_REPORT_matmul_bfloat16.json)
+  --dtype bfloat16 --dft matmul
 )
 
 python -u -m avsep_tpu.main "${args[@]}"

@@ -40,6 +40,11 @@ args=(
   --start_av_first --num_fsteps 0 --iter_per_av 2
   # cadence
   --eval_iter 1000 --disp_iter 20 --num_vis 100 --num_val 256
+  # TPU-native default: bf16 compute + explicit-DFT STFT (+32% train
+  # throughput, MFU 34.9% — MFU_REPORT_matmul_bfloat16.json; convergence
+  # within the f32 seed-variance envelope — AVPROOF_r05.json).  Pass
+  # --dtype float32 --dft fft for bit-level reference-parity training.
+  --dtype bfloat16 --dft matmul
 )
 
 if [ -f "$PRETRAINED" ]; then
