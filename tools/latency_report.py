@@ -16,7 +16,8 @@ not compute.  This tool separates the two:
    added waiting stops buying batch size (throughput flattens) and only
    adds latency.
 
-Writes LATENCY_r04.json at the repo root.
+Writes LATENCY_r05.json at the repo root (incrementally, point by
+point, so a harness timeout keeps whatever was already measured).
 
 Usage: python tools/latency_report.py [--runs 32] [--sweep_n 128]
                                       [--clients 16]
@@ -73,7 +74,7 @@ def main():
     ap.add_argument("--waits", type=float, nargs="*",
                     default=[0.0, 2.0, 5.0, 10.0, 25.0, 50.0])
     ap.add_argument("--skip_sweep", action="store_true")
-    ap.add_argument("--out", default=os.path.join(REPO, "LATENCY_r04.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "LATENCY_r05.json"))
     args = ap.parse_args()
 
     import jax
@@ -153,6 +154,14 @@ def main():
     print(f"B=1 separate: wall p50 {p50:.1f} ms, device "
           + (f"{dev_ms:.2f} ms/call" if dev_ms else "n/a (no TPU trace)"))
 
+    def flush():
+        # written after every milestone so a timeout/kill mid-sweep keeps
+        # the points already measured (a 900 s harness timeout once ate
+        # the whole report because this write only happened at the end)
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+    flush()
+
     if not args.skip_sweep:
         from avsep_tpu.serve import SeparationService
         bank = rs.randn(args.sweep_n, cfg.audLen).astype(np.float32) * 0.1
@@ -194,12 +203,12 @@ def main():
                   "p95_ms": lats[int(0.95 * len(lats))],
                   "mean_batch": snap["mean_batch"]}
             report["batching_sweep"].append(pt)
+            flush()
             print(f"wait {wait:5.1f} ms: {pt['req_per_s']:6.1f} req/s  "
                   f"p50 {pt['p50_ms']:6.1f}  p95 {pt['p95_ms']:6.1f}  "
                   f"mean batch {pt['mean_batch']:.1f}")
 
-    with open(args.out, "w") as f:
-        json.dump(report, f, indent=1)
+    flush()
     print(f"report written to {args.out}")
 
 
